@@ -1,0 +1,185 @@
+"""Sparse 3D convolutions for TPU: index-grid gather -> MXU GEMM.
+
+Replaces SparseConvNet's CUDA rulebook kernels (the `scn` ops used at
+/root/reference/torch/model.py:32,38,40,44). The design:
+
+  * A dense int32 *index grid* (coords.build_index_grid) maps every voxel to
+    its feature row (+1; 0 = empty). Building it is one scatter.
+  * For each kernel tap, the neighbor's feature row is one gather from the
+    index grid — all taps vectorized at once into an int32 [cap, K] table.
+  * Features are gathered tap-group-wise and contracted on the MXU. Taps are
+    grouped so the GEMM contraction dim is ~128+ (g*Cin), which keeps the
+    systolic array fed instead of issuing 27 skinny [N,C]x[C,C] matmuls.
+  * Missing neighbors hit row 0 of a zero-prepended feature table, so no
+    masks appear in the inner loop.
+
+Submanifold semantics (output sites == input sites, only active neighbors
+contribute) fall out for free: inactive sites aren't in the index grid.
+Equivalently, the op computes a dense zero-padded convolution evaluated at
+the active sites — which is exactly what the unit tests check against.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sgnn_tpu.ops import coords as C
+from sgnn_tpu.ops.sparse import SparseTensor, make_sparse
+
+
+def _tap_groups(num_taps: int, cin: int, target_k: int = 128) -> list[tuple[int, int]]:
+    """Split kernel taps into groups of ~target_k/cin taps: [(start, size)]."""
+    g = max(1, min(num_taps, target_k // max(cin, 1)))
+    return [(s, min(g, num_taps - s)) for s in range(0, num_taps, g)]
+
+
+def gather_gemm(
+    feats: jax.Array,  # [cap, Cin]
+    nbr_rows: jax.Array,  # [cap, K] int32, row+1 (0 = missing)
+    weight: jax.Array,  # [K, Cin, Cout]
+    *,
+    accum_dtype=jnp.float32,
+) -> jax.Array:
+    """y[n] = sum_k W[k] @ feats[nbr_rows[n, k] - 1], 0 for missing neighbors.
+
+    Taps are processed in groups sized so the contraction dim (g*Cin) is MXU
+    friendly; each group is one [cap, g*Cin] x [g*Cin, Cout] matmul.
+    """
+    cap, cin = feats.shape
+    K, _, cout = weight.shape
+    table = jnp.concatenate([jnp.zeros((1, cin), feats.dtype), feats], axis=0)
+    out = jnp.zeros((cap, cout), accum_dtype)
+    for start, size in _tap_groups(K, cin):
+        rows = nbr_rows[:, start : start + size]  # [cap, g]
+        gathered = table[rows]  # [cap, g, Cin] (row 0 = zeros)
+        lhs = gathered.reshape(cap, size * cin)
+        rhs = weight[start : start + size].reshape(size * cin, cout)
+        out = out + jnp.dot(lhs, rhs, preferred_element_type=accum_dtype)
+    return out.astype(feats.dtype)
+
+
+def neighbor_rows(
+    locs: jax.Array,
+    index_grid: jax.Array,
+    offsets: jax.Array,
+    spatial_size: tuple[int, int, int],
+    batch_size: int,
+    *,
+    scale: int = 1,
+) -> jax.Array:
+    """Row+1 indices of each loc's neighbors at locs*scale + offset.
+
+    Args:
+        locs: [cap, 4] query coordinates (in the *output* coordinate system).
+        index_grid: dense index grid of the *input* SparseTensor.
+        offsets: [K, 3] tap offsets (input coordinate units).
+        spatial_size: input spatial size (the index grid's geometry).
+        batch_size: input batch size.
+        scale: multiply locs' zyx by this before adding offsets (2 for a
+            stride-2 downsample querying children).
+
+    Returns: int32 [cap, K].
+    """
+    cap = locs.shape[0]
+    K = offsets.shape[0]
+    zyx = locs[:, None, :3] * scale + offsets[None, :, :]  # [cap, K, 3]
+    b = jnp.broadcast_to(locs[:, None, 3:4], (cap, K, 1))
+    nbr = jnp.concatenate([zyx, b], axis=-1)
+    keys = C.flat_key_nd(nbr, spatial_size, batch_size)  # [cap, K]; -1 OOB
+    return C.lookup(keys, index_grid)
+
+
+def submanifold_conv3d(
+    st: SparseTensor,
+    weight: jax.Array,  # [K^3? no: filter_volume, Cin, Cout]
+    *,
+    filter_size: int = 3,
+    index_grid: jax.Array | None = None,
+) -> SparseTensor:
+    """Submanifold sparse convolution: output sites == input sites.
+
+    Equivalent to ``scn.SubmanifoldConvolution(3, Cin, Cout, filter_size,
+    bias=False)`` (/root/reference/torch/model.py:32). Weight layout
+    [filter_volume, Cin, Cout] with taps enumerated in C order (z slowest),
+    matching coords.neighbor_offsets.
+    """
+    offsets = C.neighbor_offsets(filter_size)
+    assert weight.shape[0] == offsets.shape[0], (
+        f"weight taps {weight.shape[0]} != offsets {offsets.shape[0]}"
+    )
+    if index_grid is None:
+        index_grid = st.index_grid()
+    rows = neighbor_rows(
+        st.locs, index_grid, offsets, st.spatial_size, st.batch_size
+    )
+    out = gather_gemm(st.masked_feats(), rows, weight)
+    out = jnp.where(st.valid()[:, None], out, 0)
+    return st.with_feats(out)
+
+
+def strided_conv3d_down(
+    st: SparseTensor,
+    weight: jax.Array,  # [8, Cin, Cout] for filter 2 stride 2
+    *,
+    out_capacity: int | None = None,
+    index_grid: jax.Array | None = None,
+) -> SparseTensor:
+    """Stride-2 sparse convolution (filter 2): downsample space by 2.
+
+    Equivalent to ``scn.Convolution(3, Cin, Cout, 2, 2, False)``
+    (/root/reference/torch/model.py:44). Output sites = unique parents
+    (floor(c/2)) of the active input sites; each output gathers its up-to-8
+    active children with per-child-offset weights.
+    """
+    assert weight.shape[0] == 8
+    Z, Y, X = st.spatial_size
+    out_size = (Z // 2, Y // 2, X // 2)
+    cap_out = out_capacity if out_capacity is not None else st.capacity
+    parents = C.parent_locs(st.locs)
+    out_locs, num_out, _ = C.unique_locs(
+        parents, st.num_valid, out_size, st.batch_size, cap_out
+    )
+    if index_grid is None:
+        index_grid = st.index_grid()
+    offsets = C.neighbor_offsets(2)  # {0,1}^3, C order
+    rows = neighbor_rows(
+        out_locs, index_grid, offsets, st.spatial_size, st.batch_size, scale=2
+    )
+    out = gather_gemm(st.masked_feats(), rows, weight)
+    out_valid = C.valid_mask(num_out, cap_out)
+    out = jnp.where(out_valid[:, None], out, 0)
+    return make_sparse(out_locs, out, num_out, out_size, st.batch_size)
+
+
+def unpool_x2(
+    fine_locs: jax.Array,
+    fine_num_valid: jax.Array,
+    coarse: SparseTensor,
+    *,
+    coarse_index_grid: jax.Array | None = None,
+) -> SparseTensor:
+    """Unpooling: each fine site reads its stride-2 parent's coarse feature.
+
+    Equivalent to ``scn.UnPooling(3, 2, 2)`` inside SparseConvNet's
+    FullyConvolutionalNet (used at /root/reference/torch/model.py:180). The
+    fine site set must be the one that produced ``coarse`` via
+    strided_conv3d_down, so every fine site's parent is active.
+    """
+    if coarse_index_grid is None:
+        coarse_index_grid = coarse.index_grid()
+    parents = C.parent_locs(fine_locs)
+    keys = C.flat_key(parents, coarse.spatial_size, coarse.batch_size)
+    rows = C.lookup(keys, coarse_index_grid)  # [cap] row+1
+    table = jnp.concatenate(
+        [jnp.zeros((1, coarse.num_channels), coarse.feats.dtype), coarse.masked_feats()],
+        axis=0,
+    )
+    Z, Y, X = coarse.spatial_size
+    return make_sparse(
+        fine_locs,
+        table[rows],
+        fine_num_valid,
+        (Z * 2, Y * 2, X * 2),
+        coarse.batch_size,
+    )

@@ -1,0 +1,99 @@
+"""Dense 3D convolution wrappers with PyTorch-compatible semantics.
+
+Used for the coarse dense bottleneck of the encoder (reference
+nn.Conv3d / nn.ConvTranspose3d, /root/reference/torch/model.py:89-136) and
+the max-pool target pyramid in the loss (/root/reference/torch/loss.py:29).
+
+All dense tensors are channels-last [B, Z, Y, X, C] — the layout XLA:TPU
+tiles best. Weights are stored in torch layout so the sgnn.pth checkpoint
+converter is a pure re-shape-free copy:
+
+    conv3d            weight [Cout, Cin, kz, ky, kx]
+    conv_transpose3d  weight [Cin, Cout, kz, ky, kx]
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_DN = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def conv3d(
+    x: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    stride: int = 1,
+    padding: int = 0,
+) -> jax.Array:
+    """nn.Conv3d equivalent on channels-last input."""
+    w = jnp.transpose(weight, (2, 3, 4, 1, 0))  # -> [kz, ky, kx, Cin, Cout]
+    y = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride,) * 3,
+        padding=[(padding, padding)] * 3,
+        dimension_numbers=_DN,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def conv_transpose3d(
+    x: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    stride: int = 2,
+    padding: int = 1,
+) -> jax.Array:
+    """nn.ConvTranspose3d equivalent (gradient-of-conv formulation).
+
+    Implemented as an input-dilated correlation with the spatially-flipped
+    kernel and padding k-1-p, which XLA lowers to an MXU convolution.
+    Output spatial size = in*stride for k=4, s=2, p=1 (the only config the
+    reference uses, /root/reference/torch/model.py:112,121).
+    """
+    k = weight.shape[2]
+    w = jnp.flip(weight, axis=(2, 3, 4))
+    w = jnp.transpose(w, (2, 3, 4, 0, 1))  # -> [kz, ky, kx, Cin, Cout]
+    pad = k - 1 - padding
+    y = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1, 1, 1),
+        padding=[(pad, pad)] * 3,
+        lhs_dilation=(stride,) * 3,
+        dimension_numbers=_DN,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def max_pool3d(x: jax.Array, window: int = 2) -> jax.Array:
+    """nn.MaxPool3d(kernel=window) on [B, Z, Y, X] or [B, Z, Y, X, C]."""
+    if x.ndim == 4:
+        dims = (1, window, window, window)
+    elif x.ndim == 5:
+        dims = (1, window, window, window, 1)
+    else:
+        raise ValueError(f"unsupported rank {x.ndim}")
+    init = jnp.asarray(-jnp.inf, x.dtype) if jnp.issubdtype(
+        x.dtype, jnp.floating
+    ) else jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(
+        x, init, jax.lax.max, window_dimensions=dims, window_strides=dims,
+        padding="VALID",
+    )
+
+
+def subsample2(x: jax.Array) -> jax.Array:
+    """Stride-2 subsample on [B, Z, Y, X]: the reference's weight-pyramid
+    downsampling (/root/reference/torch/loss.py:46)."""
+    return x[:, ::2, ::2, ::2]
