@@ -1,0 +1,249 @@
+"""Dataset + batching into static-capacity device arrays.
+
+Host-side counterpart of /root/reference/torch/scene_dataloader.py. Two
+modes, matching SceneDataset (scene_dataloader.py:39-116):
+
+  * chunk mode (training): .sdfs train chunks.
+  * scene mode (inference): paired input/target .sdf + target .knw, with
+    height cropping and pad-to-multiple-of-(hierarchy_factor*4)
+    (scene_dataloader.py:83-93).
+
+collate() produces fixed-capacity numpy batches (the XLA static-shape
+contract) instead of the reference's variable-length torch.cat
+(scene_dataloader.py:13-36).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+
+import numpy as np
+
+from sgnn_tpu.data import formats as F
+
+UP_AXIS = 0  # z (train.py:73)
+
+
+class SceneDataset:
+    def __init__(
+        self,
+        files,
+        truncation: float,
+        num_hierarchy_levels: int,
+        max_input_height: int = 0,
+        num_overfit: int = 0,
+        target_path: str = "",
+        dim_round: int = 0,
+    ):
+        assert num_hierarchy_levels <= 4, "precomputed hierarchy has 3 levels"
+        self.is_chunks = target_path == ""
+        if self.is_chunks:
+            self.files = [f for f in files if os.path.isfile(f)]
+        else:
+            self.files = [
+                (f, os.path.join(target_path, os.path.basename(f)))
+                for f in files
+                if os.path.isfile(f)
+                and os.path.isfile(os.path.join(target_path, os.path.basename(f)))
+            ]
+        self.truncation = truncation
+        self.num_hierarchy_levels = num_hierarchy_levels
+        self.max_input_height = max_input_height
+        # pad scenes to a multiple of this; 0 = hierarchy_factor*4 (the
+        # reference's choice). Larger values bucket scene shapes to reduce
+        # XLA recompiles.
+        self.dim_round = dim_round or (2 ** (num_hierarchy_levels - 1) * 4)
+        if num_overfit > 0 and self.files:
+            num_repeat = max(1, num_overfit // len(self.files))
+            self.files = self.files * num_repeat
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx):
+        if self.is_chunks:
+            return self._get_chunk(self.files[idx])
+        return self._get_scene(*self.files[idx])
+
+    def _get_chunk(self, path):
+        name = os.path.splitext(os.path.basename(path))[0]
+        c = F.load_train_file(path)
+        hierarchy = c.hierarchy
+        if self.num_hierarchy_levels < 4:
+            hierarchy = hierarchy[4 - self.num_hierarchy_levels:]
+        mask = np.abs(c.input_sdf) < self.truncation
+        return {
+            "name": name,
+            "input_locs": c.input_locs[mask],
+            "input_sdf": c.input_sdf[mask],
+            "sdf": c.target_sdf,
+            "known": c.known,
+            "hierarchy": hierarchy,
+            "world2grid": c.world2grid,
+            "orig_dims": np.array(c.dims, np.int64),
+        }
+
+    def _get_scene(self, input_file, target_file):
+        name = os.path.splitext(os.path.basename(input_file))[0]
+        inp = F.load_scene(input_file)
+        tgt = F.load_scene(target_file)
+        known = F.load_scene_known(os.path.splitext(target_file)[0] + ".knw")
+        targets = F.sparse_to_dense(tgt.locs, tgt.sdf, tgt.dims, -np.inf)
+        orig_dims = np.array(targets.shape, np.int64)
+
+        in_locs, in_sdf = inp.locs, inp.sdf
+        max_dim = np.array(targets.shape)
+        if self.max_input_height > 0 and max_dim[UP_AXIS] > self.max_input_height:
+            max_dim[UP_AXIS] = self.max_input_height
+            m = in_locs[:, UP_AXIS] < self.max_input_height
+            in_locs, in_sdf = in_locs[m], in_sdf[m]
+        r = self.dim_round
+        max_dim = ((max_dim + r - 1) // r) * r
+        mh = self.max_input_height if self.max_input_height > 0 else targets.shape[0]
+        padded = np.full(tuple(max_dim), -np.inf, np.float32)
+        padded[: min(mh, targets.shape[0]), : targets.shape[1], : targets.shape[2]] = (
+            targets[:mh, :, :]
+        )
+        targets = padded
+        known_pad = np.full(tuple(max_dim), 255, np.uint8)
+        known_pad[: min(mh, known.shape[0]), : known.shape[1], : known.shape[2]] = (
+            known[:mh, :, :]
+        )
+        known = known_pad
+
+        mask = np.abs(in_sdf) < self.truncation
+        return {
+            "name": name,
+            "input_locs": in_locs[mask],
+            "input_sdf": in_sdf[mask],
+            "sdf": targets,
+            "known": known,
+            "hierarchy": None,
+            "world2grid": inp.world2grid,
+            "orig_dims": orig_dims,
+        }
+
+
+def collate(samples, input_capacity: int):
+    """Batch samples into fixed-capacity arrays.
+
+    Returns dict with:
+        input_locs [cap, 4] int32 (z,y,x,b), input_sdf [cap, 1] float32,
+        input_num_valid int32, sdf [B,Z,Y,X], known [B,Z,Y,X] uint8,
+        hierarchy list of [B,z,y,x] (chunk mode), world2grid [B,4,4],
+        orig_dims [B,3], names list, input_overflow int.
+    """
+    locs_list, feats_list = [], []
+    for b, s in enumerate(samples):
+        n = len(s["input_locs"])
+        locs_list.append(
+            np.concatenate(
+                [s["input_locs"], np.full((n, 1), b, np.int32)], axis=1
+            )
+        )
+        feats_list.append(s["input_sdf"][:, None])
+    locs = np.concatenate(locs_list, 0).astype(np.int32)
+    feats = np.concatenate(feats_list, 0).astype(np.float32)
+    n = len(locs)
+    overflow = max(0, n - input_capacity)
+    if overflow:
+        locs, feats = locs[:input_capacity], feats[:input_capacity]
+        n = input_capacity
+    pad = input_capacity - n
+    locs = np.concatenate([locs, np.full((pad, 4), -1, np.int32)], 0)
+    feats = np.concatenate([feats, np.zeros((pad, 1), np.float32)], 0)
+
+    batch = {
+        "input_locs": locs,
+        "input_sdf": feats,
+        "input_num_valid": np.int32(n),
+        "sdf": np.stack([s["sdf"] for s in samples]),
+        "known": np.stack([s["known"] for s in samples]),
+        "world2grid": np.stack([s["world2grid"] for s in samples]),
+        "orig_dims": np.stack([s["orig_dims"] for s in samples]),
+        "names": [s["name"] for s in samples],
+        "input_overflow": overflow,
+    }
+    if samples[0]["hierarchy"] is not None:
+        nh = len(samples[0]["hierarchy"])
+        batch["hierarchy"] = [
+            np.stack([s["hierarchy"][h] for s in samples]) for h in range(nh)
+        ]
+    else:
+        batch["hierarchy"] = None
+    return batch
+
+
+class BatchLoader:
+    """Shuffling, batching, drop-last, background prefetch.
+
+    Replaces torch DataLoader(num_workers=2) (train.py:102) with a thread
+    pool feeding a bounded queue — numpy parsing releases the GIL in
+    frombuffer/IO, and the consumer is a TPU step, so threads suffice
+    without process overhead.
+    """
+
+    def __init__(
+        self,
+        dataset: SceneDataset,
+        batch_size: int,
+        input_capacity: int,
+        shuffle: bool = False,
+        drop_last: bool = True,
+        seed: int = 0,
+        num_workers: int = 4,
+        prefetch: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.input_capacity = input_capacity
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.RandomState(seed)
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else (
+            (n + self.batch_size - 1) // self.batch_size
+        )
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        nb = len(self)
+        batches = [
+            order[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(nb)
+        ]
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for idxs in batches:
+                    if stop.is_set():
+                        return
+                    samples = [self.dataset[i] for i in idxs]
+                    q.put(collate(samples, self.input_capacity))
+            except Exception as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
