@@ -27,6 +27,7 @@ sgnn.pth parity):
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any
 
 import jax
@@ -320,6 +321,14 @@ def concat_skip(skip: SparseTensor, x: SparseTensor) -> SparseTensor:
     return x.with_feats(jnp.concatenate([x.feats, extra], axis=-1))
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=(
+        "coarse_out", "refine_outs", "surf_locs", "surf_sdf",
+        "surf_num_valid", "overflows",
+    ),
+    meta_fields=(),
+)
 @dataclasses.dataclass
 class GenModelOutput:
     """Everything the loss and the inference pipeline need.

@@ -1,0 +1,287 @@
+"""Training orchestration: epochs, schedules, logging, checkpoints.
+
+Mirrors the reference train loop (/root/reference/torch/train.py:233-453):
+Adam + StepLR halving, progressive level fade-in, IoU/L1 metrics every 20
+iters, checkpoints every 2000 iters and every epoch, CSV logs. Adapted for
+the jit world: steps are compiled per (active-levels, metrics) variant and
+cached; the data loader shards batches across the mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+from sgnn_tpu import schedules as S
+from sgnn_tpu.config import SGNNConfig
+from sgnn_tpu.data.dataset import BatchLoader, SceneDataset
+from sgnn_tpu.models import sgnn as M
+from sgnn_tpu.parallel import mesh as PM
+from sgnn_tpu.train import checkpoint as CK
+from sgnn_tpu.train import step as TS
+from sgnn_tpu.train.state import create_train_state
+
+
+@dataclasses.dataclass
+class TrainOptions:
+    """CLI-compatible options (names follow train.py:21-58)."""
+    data_path: str = ""
+    train_file_list: str = ""
+    val_file_list: str = ""
+    save: str = "./logs"
+    retrain: str = ""
+    input_dim: tuple = (128, 64, 64)
+    encoder_dim: int = 8
+    coarse_feat_dim: int = 16
+    refine_feat_dim: int = 16
+    no_pass_occ: bool = False
+    no_pass_feats: bool = False
+    use_skip_sparse: int = 1
+    use_skip_dense: int = 1
+    logweight_target_sdf: bool = True
+    num_hierarchy_levels: int = 4
+    num_iters_per_level: int = 2000
+    truncation: float = 3.0
+    batch_size: int = 8
+    start_epoch: int = 0
+    max_epoch: int = 5
+    save_epoch: int = 1
+    lr: float = 1e-3
+    decay_lr: int = 10
+    weight_decay: float = 0.0
+    weight_sdf_loss: float = 1.0
+    weight_missing_geo: float = 5.0
+    use_loss_masking: bool = True
+    seed: int = 0
+    num_devices: int = 0  # 0 = all
+    input_capacity: int = 0
+    occupancy_fractions: tuple = (1.0, 0.5, 0.25, 0.125)
+    max_steps: int = 0  # 0 = unlimited (for smoke tests/benchmarks)
+    log_every: int = 20
+    ckpt_every: int = 2000
+
+
+class Trainer:
+    def __init__(self, opts: TrainOptions):
+        self.opts = opts
+        mesh = PM.make_mesh(opts.num_devices or None)
+        self.mesh = mesh
+        self.num_devices = mesh.devices.size
+        assert opts.batch_size % self.num_devices == 0
+        self.cfg = SGNNConfig(
+            encoder_dim=opts.encoder_dim,
+            input_dim=tuple(opts.input_dim),
+            input_nf=1,
+            nf_coarse=opts.coarse_feat_dim,
+            nf=opts.refine_feat_dim,
+            num_hierarchy_levels=opts.num_hierarchy_levels,
+            pass_occ=not opts.no_pass_occ,
+            pass_feats=not opts.no_pass_feats,
+            use_skip_sparse=bool(opts.use_skip_sparse),
+            use_skip_dense=bool(opts.use_skip_dense),
+            truncation=opts.truncation,
+            batch_size=opts.batch_size // self.num_devices,
+            input_capacity=opts.input_capacity,
+            occupancy_fractions=tuple(opts.occupancy_fractions),
+        )
+        key = jax.random.PRNGKey(opts.seed)
+        params, stats = M.genmodel_init(key, self.cfg)
+        self.state = create_train_state(params, stats, opts.weight_decay)
+        self.start_epoch = opts.start_epoch
+        self.iteration = 0
+        if opts.retrain:
+            self.state, meta = CK.load_checkpoint(opts.retrain, self.state)
+            self.start_epoch = (
+                opts.start_epoch if opts.start_epoch != 0 else meta["epoch"]
+            )
+            self.iteration = meta.get("iteration", 0)
+            print(f"loaded checkpoint {opts.retrain} (epoch {self.start_epoch})")
+        self._steps = {}
+        self._eval_steps = {}
+
+    # ---------------------------------------------------------- step cache
+    def _train_step(self, n_active, do_surf, with_metrics):
+        key = (n_active, do_surf, with_metrics)
+        if key not in self._steps:
+            self._steps[key] = TS.make_train_step(
+                self.cfg, self.mesh,
+                num_refine_active=n_active, do_surf=do_surf,
+                use_log_transform=self.opts.logweight_target_sdf,
+                weight_missing_geo=self.opts.weight_missing_geo,
+                use_loss_masking=self.opts.use_loss_masking,
+                weight_decay=self.opts.weight_decay,
+                with_metrics=with_metrics,
+            )
+        return self._steps[key]
+
+    def _eval_step(self, n_active, do_surf):
+        key = (n_active, do_surf)
+        if key not in self._eval_steps:
+            self._eval_steps[key] = TS.make_eval_step(
+                self.cfg, self.mesh,
+                num_refine_active=n_active, do_surf=do_surf,
+                use_log_transform=self.opts.logweight_target_sdf,
+                weight_missing_geo=self.opts.weight_missing_geo,
+                use_loss_masking=self.opts.use_loss_masking,
+            )
+        return self._eval_steps[key]
+
+    # ------------------------------------------------------------- training
+    def run_step(self, batch, with_metrics=False):
+        """One optimization step on a collated global batch."""
+        opts = self.opts
+        lw = S.get_loss_weights(
+            self.iteration, opts.num_hierarchy_levels,
+            opts.num_iters_per_level, opts.weight_sdf_loss,
+        )
+        n_active, do_surf = S.active_levels(lw)
+        lr = S.step_lr(opts.lr, self.epoch, opts.decay_lr)
+        dev_batch = PM.device_batch(batch, self.num_devices)
+        step = self._train_step(n_active, do_surf, with_metrics)
+        self.state, metrics = step(
+            self.state, dev_batch, lw.astype(np.float32), np.float32(lr)
+        )
+        self.iteration += 1
+        return metrics, lw
+
+    def fit(self, train_loader, val_loader=None, log_dir=None):
+        opts = self.opts
+        log_dir = log_dir or opts.save
+        os.makedirs(log_dir, exist_ok=True)
+        log_path = os.path.join(log_dir, "log.csv")
+        log_val_path = os.path.join(log_dir, "log_val.csv")
+        L = opts.num_hierarchy_levels
+        headers = ["epoch", "iter", "train_loss(total)"]
+        headers += [f"train_loss({h})" for h in range(L)]
+        headers += ["train_loss(sdf)", "train_l1-pred", "train_l1-tgt"]
+        headers += [f"train_iou({h})" for h in range(L)] + ["time"]
+        log_f = open(log_path, "w")
+        log_f.write(",".join(headers) + "\n")
+        val_f = None
+        if val_loader is not None:
+            vh = headers[:-1] + ["val_loss(total)"]
+            vh += [f"val_loss({h})" for h in range(L)]
+            vh += ["val_loss(sdf)", "val_l1-pred", "val_l1-tgt"]
+            vh += [f"val_iou({h})" for h in range(L)] + ["time"]
+            val_f = open(log_val_path, "w")
+            val_f.write(",".join(vh) + "\n")
+
+        done = False
+        for epoch in range(self.start_epoch, opts.max_epoch):
+            self.epoch = epoch
+            start = time.time()
+            accum = _MetricAccum(L)
+            for batch in train_loader:
+                with_metrics = (self.iteration % opts.log_every) == 0
+                metrics, lw = self.run_step(batch, with_metrics)
+                accum.add(metrics, with_metrics)
+                if self.iteration % opts.log_every == 0:
+                    took = time.time() - start
+                    row = accum.row(epoch, self.iteration, took)
+                    log_f.write(",".join(str(v) for v in row) + "\n")
+                    log_f.flush()
+                    print(
+                        f"epoch {epoch} iter {self.iteration} "
+                        f"loss {float(metrics['loss']):.6f} "
+                        f"lw {np.array2string(lw, precision=2)} "
+                        f"({took:.1f}s)",
+                        file=sys.stdout,
+                    )
+                if opts.ckpt_every and self.iteration % opts.ckpt_every == 0:
+                    CK.save_checkpoint(
+                        os.path.join(
+                            log_dir,
+                            f"model-iter{self.iteration}-epoch{epoch}.ckpt",
+                        ),
+                        self.state, epoch=epoch, iteration=self.iteration,
+                    )
+                if opts.max_steps and self.iteration >= opts.max_steps:
+                    done = True
+                    break
+            if val_loader is not None and not done:
+                self.validate(val_loader, val_f, epoch)
+            CK.save_checkpoint(
+                os.path.join(log_dir, f"model-epoch-{epoch}.ckpt"),
+                self.state, epoch=epoch + 1, iteration=self.iteration,
+            )
+            if done:
+                break
+        log_f.close()
+        if val_f:
+            val_f.close()
+
+    def validate(self, val_loader, val_f=None, epoch=0):
+        opts = self.opts
+        lw = S.get_loss_weights(
+            self.iteration, opts.num_hierarchy_levels,
+            opts.num_iters_per_level, opts.weight_sdf_loss,
+        )
+        n_active, do_surf = S.active_levels(lw)
+        step = self._eval_step(n_active, do_surf)
+        losses, ious, l1p, l1t = [], [], [], []
+        for batch in val_loader:
+            dev_batch = PM.device_batch(batch, self.num_devices)
+            m = step(self.state, dev_batch, lw.astype(np.float32))
+            losses.append(float(m["loss"]))
+            ious.append(np.asarray(m["iou"]))
+            l1p.append(float(m["l1pred"]))
+            l1t.append(float(m["l1tgt"]))
+        result = {
+            "loss": float(np.mean(losses)) if losses else -1,
+            "iou": np.mean(np.stack(ious), 0).tolist() if ious else [],
+            "l1pred": _mean_valid(l1p),
+            "l1tgt": _mean_valid(l1t),
+        }
+        if val_f:
+            val_f.write(
+                f"{epoch},{self.iteration},{result['loss']},"
+                + ",".join(str(v) for v in result["iou"])
+                + f",{result['l1pred']},{result['l1tgt']}\n"
+            )
+            val_f.flush()
+        print(f"[val] epoch {epoch}: {result}")
+        return result
+
+    epoch: int = 0
+
+
+def _mean_valid(vals):
+    a = np.asarray(vals)
+    a = a[a >= 0]
+    return float(a.mean()) if len(a) else -1.0
+
+
+class _MetricAccum:
+    def __init__(self, num_levels):
+        self.L = num_levels
+        self.losses = [[] for _ in range(num_levels + 2)]
+        self.ious = [[] for _ in range(num_levels)]
+        self.l1pred = []
+        self.l1tgt = []
+
+    def add(self, metrics, with_metrics):
+        self.losses[0].append(float(metrics["loss"]))
+        per = np.asarray(metrics["per_level"])
+        for h in range(self.L):
+            self.losses[h + 1].append(float(per[h]))
+        self.losses[-1].append(float(per[-1]))
+        if with_metrics and "iou" in metrics:
+            iou = np.asarray(metrics["iou"])
+            for h in range(self.L):
+                self.ious[h].append(float(iou[h]))
+            self.l1pred.append(float(metrics["l1pred"]))
+            self.l1tgt.append(float(metrics["l1tgt"]))
+
+    def row(self, epoch, iteration, took):
+        row = [epoch, iteration]
+        row += [_mean_valid(x) for x in self.losses]
+        row += [_mean_valid(self.l1pred), _mean_valid(self.l1tgt)]
+        row += [_mean_valid(x) for x in self.ious]
+        row += [took]
+        return row

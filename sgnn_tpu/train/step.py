@@ -1,0 +1,233 @@
+"""Jitted, data-parallel train/eval steps (shard_map over the device mesh).
+
+One compiled step = host->device batch in, full forward + hierarchical loss
++ backward + Adam update on device, gradients pmean'd over ICI. The level
+fade-in schedule changes (num_refine_active, do_surf) at most
+2*num_hierarchy_levels times per run; each change compiles one new variant
+(see models/sgnn.py docstring).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from sgnn_tpu import losses as L
+from sgnn_tpu.config import SGNNConfig
+from sgnn_tpu.models import sgnn as M
+from sgnn_tpu.ops.sparse import make_sparse
+from sgnn_tpu.parallel.mesh import DATA_AXIS
+from sgnn_tpu.train.state import TrainState, apply_updates
+
+
+def _unpack_batch(cfg: SGNNConfig, batch):
+    """Per-device batch (leading [1] axis from shard_map) -> tensors."""
+    st = make_sparse(
+        batch["input_locs"][0],
+        batch["input_sdf"][0],
+        batch["input_num_valid"][0],
+        cfg.input_dim,
+        cfg.batch_size,
+    )
+    sdf = batch["sdf"][0]
+    known = batch["known"][0]
+    hierarchy = [h[0] for h in batch["hierarchy"]] if batch["hierarchy"] else None
+    return st, sdf, known, hierarchy
+
+
+def _forward_loss(
+    params, stats, cfg, st, targets, loss_weights, known, *,
+    num_refine_active, do_surf, use_log_transform, weight_missing_geo,
+    use_loss_masking, training, axis_name,
+):
+    out, new_stats = M.genmodel_apply(
+        params, stats, cfg, st,
+        num_refine_active=num_refine_active, do_surf=do_surf,
+        training=training, axis_name=axis_name,
+    )
+    total, per_level = L.compute_loss(
+        out, targets, loss_weights, cfg.truncation,
+        num_refine_active=num_refine_active, do_surf=do_surf,
+        use_log_transform=use_log_transform,
+        weight_missing_geo=weight_missing_geo,
+        input_locs=st.locs, input_num_valid=st.num_valid,
+        use_loss_masking=use_loss_masking, known=known,
+    )
+    return total, (per_level, out, new_stats)
+
+
+def _metrics(cfg, out, targets, known, *, num_refine_active, do_surf,
+             use_loss_masking):
+    """IoU per level + surface L1 metrics (train.py:271-297), on device."""
+    L_levels = cfg.num_hierarchy_levels
+    ious = []
+    # level 0: dense coarse
+    occ0 = targets.target_for_occs[0]
+    pred0 = jax.nn.sigmoid(out.coarse_out[..., 0]) > 0.5
+    tgt1 = occ0 == 1.0
+    if use_loss_masking:
+        pred0 = pred0 & (occ0 != L.UNK_ID)
+    inter = jnp.sum(pred0 & tgt1)
+    union = jnp.sum(pred0 | tgt1)
+    ious.append(jnp.where(union > 0, inter / jnp.maximum(union, 1), -1.0))
+    for h in range(1, L_levels):
+        if h - 1 < num_refine_active:
+            locs_u, out_u, num_u = out.refine_outs[h - 1]
+            occupied = jax.nn.sigmoid(out_u[:, 0]) > 0.5
+            ious.append(
+                L.compute_iou_sparse_dense(
+                    locs_u, num_u, occupied, targets.target_for_occs[h],
+                    use_loss_masking,
+                )
+            )
+        else:
+            ious.append(jnp.float32(-1.0))
+    if do_surf:
+        l1pred = L.compute_l1_predsurf_sparse_dense(
+            out.surf_locs, out.surf_num_valid, out.surf_sdf[:, 0],
+            targets.target_for_sdf, None, False, use_loss_masking,
+            known >= L.UNK_THRESH if use_loss_masking else None,
+        )
+        l1tgt = L.compute_l1_tgtsurf_sparse_dense(
+            out.surf_locs, out.surf_num_valid, out.surf_sdf[:, 0],
+            targets.target_for_sdf, cfg.truncation, use_loss_masking, known,
+        )
+    else:
+        l1pred = jnp.float32(-1.0)
+        l1tgt = jnp.float32(-1.0)
+    return {"iou": jnp.stack(ious), "l1pred": l1pred, "l1tgt": l1tgt}
+
+
+def make_train_step(
+    cfg: SGNNConfig,
+    mesh,
+    *,
+    num_refine_active: int,
+    do_surf: bool,
+    use_log_transform: bool = True,
+    weight_missing_geo: float = 5.0,
+    use_loss_masking: bool = True,
+    weight_decay: float = 0.0,
+    with_metrics: bool = False,
+):
+    """Returns jitted (state, dev_batch, loss_weights, lr) -> (state, out).
+
+    ``cfg`` is the PER-DEVICE config (batch_size = global // num_devices).
+    ``dev_batch`` arrays carry a leading device axis (parallel.mesh.
+    device_batch).
+    """
+
+    def step(state: TrainState, batch, loss_weights, lr):
+        st, sdf, known, hierarchy = _unpack_batch(cfg, batch)
+        targets = L.compute_targets(
+            sdf, hierarchy, cfg.num_hierarchy_levels, cfg.truncation,
+            use_loss_masking, known,
+        )
+        grad_fn = jax.value_and_grad(_forward_loss, has_aux=True)
+        (total, (per_level, out, new_stats)), grads = grad_fn(
+            state.params, state.stats, cfg, st, targets, loss_weights, known,
+            num_refine_active=num_refine_active, do_surf=do_surf,
+            use_log_transform=use_log_transform,
+            weight_missing_geo=weight_missing_geo,
+            use_loss_masking=use_loss_masking, training=True,
+            axis_name=DATA_AXIS,
+        )
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        total = jax.lax.pmean(total, DATA_AXIS)
+        per_level = [jax.lax.pmean(x, DATA_AXIS) for x in per_level]
+        new_state = apply_updates(state, grads, new_stats, lr, weight_decay)
+        metrics = {
+            "loss": total,
+            "per_level": jnp.stack(per_level),
+            "overflow": (
+                jnp.stack(out.overflows).max()
+                if out.overflows else jnp.zeros((), jnp.int32)
+            ),
+        }
+        if with_metrics:
+            m = _metrics(
+                cfg, out, targets, known,
+                num_refine_active=num_refine_active, do_surf=do_surf,
+                use_loss_masking=use_loss_masking,
+            )
+            metrics.update({k: jax.lax.pmean(v, DATA_AXIS) for k, v in m.items()})
+        return new_state, metrics
+
+    batch_specs = {
+        "input_locs": P(DATA_AXIS),
+        "input_sdf": P(DATA_AXIS),
+        "input_num_valid": P(DATA_AXIS),
+        "sdf": P(DATA_AXIS),
+        "known": P(DATA_AXIS),
+        "hierarchy": [P(DATA_AXIS)] * (cfg.num_hierarchy_levels - 1),
+    }
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), batch_specs, P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_eval_step(
+    cfg: SGNNConfig,
+    mesh,
+    *,
+    num_refine_active: int,
+    do_surf: bool,
+    use_log_transform: bool = True,
+    weight_missing_geo: float = 5.0,
+    use_loss_masking: bool = True,
+):
+    """Eval: forward + loss + metrics, BN in inference mode, no update."""
+
+    def step(state: TrainState, batch, loss_weights):
+        st, sdf, known, hierarchy = _unpack_batch(cfg, batch)
+        targets = L.compute_targets(
+            sdf, hierarchy, cfg.num_hierarchy_levels, cfg.truncation,
+            use_loss_masking, known,
+        )
+        total, (per_level, out, _) = _forward_loss(
+            state.params, state.stats, cfg, st, targets, loss_weights, known,
+            num_refine_active=num_refine_active, do_surf=do_surf,
+            use_log_transform=use_log_transform,
+            weight_missing_geo=weight_missing_geo,
+            use_loss_masking=use_loss_masking, training=False,
+            axis_name=DATA_AXIS,
+        )
+        m = _metrics(
+            cfg, out, targets, known,
+            num_refine_active=num_refine_active, do_surf=do_surf,
+            use_loss_masking=use_loss_masking,
+        )
+        metrics = {
+            "loss": jax.lax.pmean(total, DATA_AXIS),
+            "per_level": jnp.stack(
+                [jax.lax.pmean(x, DATA_AXIS) for x in per_level]
+            ),
+        }
+        metrics.update({k: jax.lax.pmean(v, DATA_AXIS) for k, v in m.items()})
+        return metrics
+
+    batch_specs = {
+        "input_locs": P(DATA_AXIS),
+        "input_sdf": P(DATA_AXIS),
+        "input_num_valid": P(DATA_AXIS),
+        "sdf": P(DATA_AXIS),
+        "known": P(DATA_AXIS),
+        "hierarchy": [P(DATA_AXIS)] * (cfg.num_hierarchy_levels - 1),
+    }
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), batch_specs, P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Training CLI, flag-compatible with the reference train.py.
+
+Example:
+    python tools/train.py --data_path ./data/completion_blocks \
+        --train_file_list train_list.txt --val_file_list val_list.txt \
+        --save logs/mp
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def parse_args():
+    # mirrors /root/reference/torch/train.py:21-58
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--train_file_list", required=True)
+    p.add_argument("--val_file_list", default="")
+    p.add_argument("--save", default="./logs")
+    p.add_argument("--retrain", type=str, default="")
+    p.add_argument("--input_dim", type=int, default=0)
+    p.add_argument("--encoder_dim", type=int, default=8)
+    p.add_argument("--coarse_feat_dim", type=int, default=16)
+    p.add_argument("--refine_feat_dim", type=int, default=16)
+    p.add_argument("--no_pass_occ", action="store_true")
+    p.add_argument("--no_pass_feats", action="store_true")
+    p.add_argument("--use_skip_sparse", type=int, default=1)
+    p.add_argument("--use_skip_dense", type=int, default=1)
+    p.add_argument("--no_logweight_target_sdf", dest="logweight_target_sdf",
+                   action="store_false")
+    p.add_argument("--num_hierarchy_levels", type=int, default=4)
+    p.add_argument("--num_iters_per_level", type=int, default=2000)
+    p.add_argument("--truncation", type=float, default=3.0)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--start_epoch", type=int, default=0)
+    p.add_argument("--max_epoch", type=int, default=5)
+    p.add_argument("--save_epoch", type=int, default=1)
+    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--decay_lr", type=int, default=10)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--weight_sdf_loss", type=float, default=1.0)
+    p.add_argument("--weight_missing_geo", type=float, default=5.0)
+    p.add_argument("--no_loss_masking", dest="use_loss_masking",
+                   action="store_false")
+    # TPU-specific
+    p.add_argument("--num_devices", type=int, default=0, help="0 = all")
+    p.add_argument("--input_capacity", type=int, default=0)
+    p.add_argument("--max_steps", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(logweight_target_sdf=True, use_loss_masking=True)
+    args = p.parse_args()
+    assert not (args.no_pass_feats and args.no_pass_occ)
+    assert args.weight_missing_geo >= 1
+    assert args.num_hierarchy_levels > 1
+    return args
+
+
+def infer_input_dim(args):
+    # /root/reference/torch/train.py:62-71
+    if args.input_dim != 0:
+        return (args.input_dim,) * 3
+    dim = (128, 64, 64)
+    if "64-64-128" in args.data_path:
+        dim = (128, 64, 64)
+    elif "96-96-160" in args.data_path:
+        dim = (160, 96, 96)
+    if "64-64-64" in args.data_path:
+        dim = (64, 64, 64)
+    return dim
+
+
+def main():
+    args = parse_args()
+    input_dim = infer_input_dim(args)
+    print(f"input_dim: {input_dim}")
+
+    from sgnn_tpu.data import formats as F
+    from sgnn_tpu.data.dataset import BatchLoader, SceneDataset
+    from sgnn_tpu.train.loop import TrainOptions, Trainer
+
+    train_files, val_files = F.get_train_files(
+        args.data_path, args.train_file_list, args.val_file_list
+    )
+    overfit = len(train_files) == 1  # train.py:93-98
+    use_loss_masking = args.use_loss_masking and not overfit
+    print(f"#train files = {len(train_files)}  #val files = {len(val_files)}")
+
+    opts = TrainOptions(
+        data_path=args.data_path,
+        save=args.save,
+        retrain=args.retrain,
+        input_dim=input_dim,
+        encoder_dim=args.encoder_dim,
+        coarse_feat_dim=args.coarse_feat_dim,
+        refine_feat_dim=args.refine_feat_dim,
+        no_pass_occ=args.no_pass_occ,
+        no_pass_feats=args.no_pass_feats,
+        use_skip_sparse=args.use_skip_sparse,
+        use_skip_dense=args.use_skip_dense,
+        logweight_target_sdf=args.logweight_target_sdf,
+        num_hierarchy_levels=args.num_hierarchy_levels,
+        num_iters_per_level=args.num_iters_per_level,
+        truncation=args.truncation,
+        batch_size=args.batch_size,
+        start_epoch=args.start_epoch,
+        max_epoch=args.max_epoch,
+        save_epoch=args.save_epoch,
+        lr=args.lr,
+        decay_lr=args.decay_lr,
+        weight_decay=args.weight_decay,
+        weight_sdf_loss=args.weight_sdf_loss,
+        weight_missing_geo=args.weight_missing_geo,
+        use_loss_masking=use_loss_masking,
+        seed=args.seed,
+        num_devices=args.num_devices,
+        input_capacity=args.input_capacity,
+        max_steps=args.max_steps,
+    )
+    trainer = Trainer(opts)
+
+    num_overfit_train = 640 if overfit else 0
+    num_overfit_val = 160 if overfit else 0
+    train_ds = SceneDataset(
+        train_files, args.truncation, args.num_hierarchy_levels,
+        num_overfit=num_overfit_train,
+    )
+    train_loader = BatchLoader(
+        train_ds, args.batch_size, trainer.cfg.input_cap * trainer.num_devices,
+        shuffle=True, seed=args.seed,
+    )
+    val_loader = None
+    if val_files:
+        val_ds = SceneDataset(
+            val_files, args.truncation, args.num_hierarchy_levels,
+            num_overfit=num_overfit_val,
+        )
+        val_loader = BatchLoader(
+            val_ds, args.batch_size,
+            trainer.cfg.input_cap * trainer.num_devices,
+        )
+
+    os.makedirs(args.save, exist_ok=True)
+    with open(os.path.join(args.save, "args.txt"), "w") as f:
+        f.write(str(vars(args)) + "\n")
+    trainer.fit(train_loader, val_loader, log_dir=args.save)
+
+
+if __name__ == "__main__":
+    main()
