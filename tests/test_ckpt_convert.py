@@ -1,0 +1,106 @@
+"""Checkpoint converter: synthetic reference state_dict -> full conversion."""
+
+import numpy as np
+import pytest
+import jax
+
+from sgnn_tpu.config import SGNNConfig
+from sgnn_tpu.models.sgnn import genmodel_init
+from sgnn_tpu.utils import ckpt_convert as CC
+
+
+CFG = SGNNConfig(
+    encoder_dim=8, input_dim=(64, 64, 64), nf_coarse=16, nf=16,
+    num_hierarchy_levels=4, batch_size=1,
+)
+
+
+def _synthetic_sd(rng, spec):
+    sd = {}
+    for k, shape in spec.items():
+        sd[k] = rng.randn(*shape).astype(np.float32)
+    return sd
+
+
+def test_spec_matches_reference_defaults():
+    """Default config parameter count ~0.64M. Consistency check vs the
+    7.5MB sgnn.pth (README.md:18): the .pth stores params + Adam m/v
+    moments = 3x params x 4B ~= 7.7MB, matching 0.64M params."""
+    spec = CC.expected_state_dict_spec(CFG)
+    n_params = sum(
+        int(np.prod(s)) for k, s in spec.items()
+        if not any(k.endswith(x) for x in ("running_mean", "running_var"))
+    )
+    assert 5.5e5 < n_params < 7.5e5, n_params
+    assert 6.5e6 < 3 * n_params * 4 < 8.5e6  # ~7.5MB with optimizer state
+    # reference nf_per_level for defaults is [8, 12, 16] (model.py:286)
+    assert CFG.nf_per_level == [8, 12, 16]
+    assert spec["encoder.process_sparse.0.p1.weight"] == (27, 1, 8)
+    assert spec["encoder.process_sparse.2.p3.0.weight"] == (8, 16, 16)
+    # refinement input widths (model.py:296-303): 34, 34, 30
+    assert spec["refinement.0.p1.weight"] == (27, 34, 16)
+    assert spec["refinement.1.p1.weight"] == (27, 34, 16)
+    assert spec["refinement.2.p1.weight"] == (27, 30, 16)
+    # surfacepred nf_in = 8+2+16 = 26
+    assert spec["surfacepred.p1.weight"] == (27, 26, 16)
+    assert spec["surfacepred.linear.weight"] == (1, 48)
+
+
+def test_full_conversion(rng):
+    spec = CC.expected_state_dict_spec(CFG)
+    sd = _synthetic_sd(rng, spec)
+    params, stats = genmodel_init(jax.random.PRNGKey(0), CFG)
+    new_p, new_s = CC.convert_state_dict(sd, CFG, params, stats)
+    # structure preserved
+    assert jax.tree_util.tree_structure(new_p) == jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(np.asarray, params)
+    )
+    # spot-check exact values land in the right leaves
+    np.testing.assert_array_equal(
+        new_p["encoder"]["process_sparse"][0]["p1"],
+        sd["encoder.process_sparse.0.p1.weight"],
+    )
+    np.testing.assert_array_equal(
+        new_p["refinement"][2]["p2"]["deeper"]["deeper"]["block"]["conv1"],
+        sd["refinement.2.p2.2.1.2.2.1.2.0.1.3.weight"],
+    )
+    np.testing.assert_array_equal(
+        new_p["surfacepred"]["linear"]["weight"],
+        sd["surfacepred.linear.weight"].T,
+    )
+    np.testing.assert_array_equal(
+        new_s["encoder"]["final"]["bn"]["mean"],
+        sd["encoder.final.1.running_mean"],
+    )
+    np.testing.assert_array_equal(
+        new_s["refinement"][0]["p2"]["down_bn"]["var"],
+        sd["refinement.0.p2.2.1.0.running_var"],
+    )
+
+
+def test_conversion_detects_missing_and_extra(rng):
+    spec = CC.expected_state_dict_spec(CFG)
+    sd = _synthetic_sd(rng, spec)
+    params, stats = genmodel_init(jax.random.PRNGKey(0), CFG)
+    del sd["surfacepred.linear.bias"]
+    with pytest.raises(CC.ConversionError, match="missing"):
+        CC.convert_state_dict(sd, CFG, params, stats)
+    sd = _synthetic_sd(rng, spec)
+    sd["bogus.extra.weight"] = np.zeros(3, np.float32)
+    with pytest.raises(CC.ConversionError, match="unconsumed"):
+        CC.convert_state_dict(sd, CFG, params, stats)
+
+
+def test_torch_roundtrip(tmp_path, rng):
+    """Full path through torch.save -> load_reference_checkpoint."""
+    torch = pytest.importorskip("torch")
+    spec = CC.expected_state_dict_spec(CFG)
+    sd = {k: torch.from_numpy(v) for k, v in _synthetic_sd(rng, spec).items()}
+    p = str(tmp_path / "sgnn.pth")
+    torch.save({"epoch": 3, "state_dict": sd, "optimizer": {}}, p)
+    params, stats, meta = CC.load_reference_checkpoint(p, CFG)
+    assert meta["epoch"] == 3
+    np.testing.assert_array_equal(
+        params["encoder"]["occpred"],
+        sd["encoder.occpred.0.weight"].numpy(),
+    )
