@@ -1,0 +1,138 @@
+"""Whole-scene inference pipeline + test_scene CLI end-to-end."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import jax
+
+from sgnn_tpu.config import SGNNConfig
+from sgnn_tpu.data import formats as F
+from sgnn_tpu.data.dataset import SceneDataset
+from sgnn_tpu.infer import SceneInferencer
+from sgnn_tpu.meshing.export import save_predictions
+from sgnn_tpu.models.sgnn import genmodel_init
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def scene_dirs(tmp_path_factory):
+    rng = np.random.RandomState(3)
+    base = tmp_path_factory.mktemp("scenes")
+    inp_dir, tgt_dir = base / "input", base / "target"
+    inp_dir.mkdir()
+    tgt_dir.mkdir()
+    dims = (20, 28, 30)  # padded to (32, 32, 32) for L=3
+    Z, Y, X = dims
+    # sphere surface voxels
+    z, y, x = np.meshgrid(*(np.arange(d) for d in dims), indexing="ij")
+    d = np.sqrt((z - 10.0) ** 2 + (y - 14.0) ** 2 + (x - 15.0) ** 2) - 8.0
+    m = np.abs(d) < 3.0
+    locs = np.stack(np.nonzero(m), -1).astype(np.int32)
+    sdf = d[m].astype(np.float32)
+    for name in ("roomA", "roomB"):
+        vol = F.SceneVolume(locs, sdf, dims, 0.02, np.eye(4, dtype=np.float32))
+        F.save_scene(str(inp_dir / f"{name}.sdf"), vol)
+        F.save_scene(str(tgt_dir / f"{name}.sdf"), vol)
+        F.save_known(
+            str(tgt_dir / f"{name}.knw"), dims, 0.02,
+            np.eye(4, dtype=np.float32),
+            (rng.rand(*dims) * 3).astype(np.uint8),
+        )
+    return str(inp_dir), str(tgt_dir), dims
+
+
+CFG = SGNNConfig(
+    encoder_dim=4, input_dim=(32, 32, 32), nf_coarse=8, nf=8,
+    num_hierarchy_levels=3, batch_size=1,
+    occupancy_fractions=(1.0, 1.0, 1.0),
+)
+
+
+def test_scene_inference_and_export(scene_dirs, tmp_path):
+    inp_dir, tgt_dir, dims = scene_dirs
+    ds = SceneDataset(
+        [os.path.join(inp_dir, "roomA.sdf")], 3.0, 3,
+        max_input_height=0, target_path=tgt_dir,
+    )
+    sample = ds[0]
+    assert sample["sdf"].shape == (32, 32, 32)
+    params, stats = genmodel_init(jax.random.PRNGKey(1), CFG)
+    inf = SceneInferencer(CFG, params, stats)
+    result = inf(sample)
+    # padding removed: all locs within original dims
+    if len(result["surf_locs"]):
+        assert (result["surf_locs"] < np.asarray(dims)).all()
+    assert np.isfinite(result["surf_sdf"]).all()
+    assert len(result["levels"]) == 3
+    assert "dense_out" in result["levels"][0]
+
+    out_dir = str(tmp_path / "vis")
+    pred_occs = [None, None, None]
+    for h, lvl in enumerate(result["levels"]):
+        if "locs" in lvl and len(lvl["locs"]):
+            occ = 1 / (1 + np.exp(-lvl["out"][:, 0])) > 0.5
+            pred_occs[h] = lvl["locs"][occ]
+    save_predictions(
+        out_dir, result["name"],
+        result["input_locs"], result["input_sdf"], dims,
+        target_for_sdf=None, target_for_occs=None,
+        pred_surf=(result["surf_locs"], result["surf_sdf"]),
+        pred_occ_locs=pred_occs, truncation=3.0,
+    )
+    files = os.listdir(out_dir)
+    assert any("input-mesh" in f for f in files)
+
+
+def test_inferencer_caches_by_shape(scene_dirs):
+    inp_dir, tgt_dir, _ = scene_dirs
+    params, stats = genmodel_init(jax.random.PRNGKey(1), CFG)
+    inf = SceneInferencer(CFG, params, stats)
+    ds = SceneDataset(
+        [os.path.join(inp_dir, f) for f in ("roomA.sdf", "roomB.sdf")],
+        3.0, 3, target_path=tgt_dir,
+    )
+    inf(ds[0])
+    inf(ds[1])
+    assert len(inf._cache) == 1  # same padded shape -> one executable
+
+
+def test_cli_end_to_end(scene_dirs, tmp_path):
+    inp_dir, tgt_dir, _ = scene_dirs
+    # save a tiny converted-style checkpoint the CLI can load
+    from sgnn_tpu.train.checkpoint import save_checkpoint
+    from sgnn_tpu.train.state import create_train_state
+
+    params, stats = genmodel_init(jax.random.PRNGKey(0), CFG)
+    state = create_train_state(params, stats)
+    ckpt = str(tmp_path / "model.ckpt")
+    save_checkpoint(ckpt, state, epoch=0, iteration=0)
+
+    fl = tmp_path / "list.txt"
+    fl.write_text("roomA.sdf\n")
+    out = tmp_path / "out"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(ROOT, "tools", "test_scene.py"),
+            "--input_data_path", inp_dir,
+            "--target_data_path", tgt_dir,
+            "--test_file_list", str(fl),
+            "--model_path", ckpt,
+            "--output", str(out),
+            "--num_hierarchy_levels", "3",
+            "--encoder_dim", "4",
+            "--coarse_feat_dim", "8",
+            "--refine_feat_dim", "8",
+            "--max_input_height", "0",
+            "--occupancy_fractions", "1.0", "1.0", "1.0",
+            "--cpu",
+        ],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    files = os.listdir(out)
+    assert any("input-mesh" in f for f in files), (files, r.stdout)

@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Whole-scene inference CLI, flag-compatible with the reference
+test_scene.py.
+
+Example:
+    python tools/test_scene.py --input_data_path ./data/mp_sdf_vox_2cm_input \
+        --target_data_path ./data/mp_sdf_vox_2cm_target \
+        --test_file_list filelists/mp-rooms_test-scenes.txt \
+        --model_path sgnn.pth --output output/mp
+
+--model_path accepts either a reference .pth (converted on the fly) or an
+sgnn_tpu .ckpt.
+"""
+
+import argparse
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def parse_args():
+    # mirrors /root/reference/torch/test_scene.py:20-46
+    p = argparse.ArgumentParser()
+    p.add_argument("--input_data_path", required=True)
+    p.add_argument("--target_data_path", required=True)
+    p.add_argument("--test_file_list", required=True)
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--output", default="./output")
+    p.add_argument("--num_hierarchy_levels", type=int, default=4)
+    p.add_argument("--max_input_height", type=int, default=128)
+    p.add_argument("--truncation", type=float, default=3.0)
+    p.add_argument("--input_dim", type=int, default=128)
+    p.add_argument("--encoder_dim", type=int, default=8)
+    p.add_argument("--coarse_feat_dim", type=int, default=16)
+    p.add_argument("--refine_feat_dim", type=int, default=16)
+    p.add_argument("--no_pass_occ", action="store_true")
+    p.add_argument("--no_pass_feats", action="store_true")
+    p.add_argument("--use_skip_sparse", type=int, default=1)
+    p.add_argument("--use_skip_dense", type=int, default=1)
+    p.add_argument("--max_to_vis", type=int, default=10)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--dim_round", type=int, default=0,
+                   help="pad scene dims to a multiple of this (0 = x32); "
+                        "larger buckets = fewer XLA compiles")
+    p.add_argument("--occupancy_fractions", type=float, nargs="+",
+                   default=[1.0, 0.4, 0.2, 0.1])
+    args = p.parse_args()
+    assert not (args.no_pass_feats and args.no_pass_occ)
+    assert args.num_hierarchy_levels > 1
+    return args
+
+
+def load_params(model_path, cfg):
+    """Load model weights from a reference .pth or an sgnn_tpu .ckpt."""
+    import jax
+
+    from sgnn_tpu.models.sgnn import genmodel_init
+
+    if model_path.endswith(".pth"):
+        from sgnn_tpu.utils.ckpt_convert import load_reference_checkpoint
+
+        params, stats, _ = load_reference_checkpoint(model_path, cfg)
+        return params, stats
+    from sgnn_tpu.train.checkpoint import load_checkpoint
+    from sgnn_tpu.train.state import create_train_state
+
+    params, stats = genmodel_init(jax.random.PRNGKey(0), cfg)
+    template = create_train_state(params, stats)
+    state, _ = load_checkpoint(model_path, template)
+    return state.params, state.stats
+
+
+def main():
+    args = parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from sgnn_tpu.config import SGNNConfig
+    from sgnn_tpu.data import formats as F
+    from sgnn_tpu.data.dataset import SceneDataset
+    from sgnn_tpu.infer import SceneInferencer
+    from sgnn_tpu.meshing.export import save_predictions
+
+    f = 2 ** (args.num_hierarchy_levels - 1) * 4
+    cfg = SGNNConfig(
+        encoder_dim=args.encoder_dim,
+        input_dim=(f,) * 3,  # placeholder; per-scene dims via for_scene
+        nf_coarse=args.coarse_feat_dim,
+        nf=args.refine_feat_dim,
+        num_hierarchy_levels=args.num_hierarchy_levels,
+        pass_occ=not args.no_pass_occ,
+        pass_feats=not args.no_pass_feats,
+        use_skip_sparse=bool(args.use_skip_sparse),
+        use_skip_dense=bool(args.use_skip_dense),
+        truncation=args.truncation,
+        batch_size=1,
+        occupancy_fractions=tuple(args.occupancy_fractions),
+    )
+    params, stats = load_params(args.model_path, cfg)
+    print(f"loaded model: {args.model_path}")
+
+    test_files, _ = F.get_train_files(
+        args.input_data_path, args.test_file_list, ""
+    )
+    if len(test_files) > args.max_to_vis:
+        test_files = test_files[: args.max_to_vis]
+    random.seed(42)  # test_scene.py:114
+    random.shuffle(test_files)
+    print(f"#test files = {len(test_files)}")
+    ds = SceneDataset(
+        test_files, args.truncation, args.num_hierarchy_levels,
+        max_input_height=args.max_input_height,
+        target_path=args.target_data_path,
+        dim_round=args.dim_round,
+    )
+    os.makedirs(args.output, exist_ok=True)
+    inferencer = SceneInferencer(cfg, params, stats)
+    times = []
+    for i in range(len(ds)):
+        sample = ds[i]
+        dims = sample["sdf"].shape
+        sys.stdout.write(
+            f"\r[ {i} | {len(ds)} ] {sample['name']} "
+            f"({dims[0]}, {dims[1]}, {dims[2]})    "
+        )
+        sys.stdout.flush()
+        try:
+            t0 = time.time()
+            result = inferencer(sample)
+            times.append(time.time() - t0)
+        except Exception as e:  # skip-and-continue (test_scene.py:79-86)
+            print(f"\nexception at {sample['name']}: {e}")
+            continue
+        pred_occs = [None] * args.num_hierarchy_levels
+        for h, lvl in enumerate(result["levels"]):
+            if "locs" in lvl:
+                occ_mask = 1.0 / (1.0 + np.exp(-lvl["out"][:, 0])) > 0.5
+                pred_occs[h] = lvl["locs"][occ_mask]
+        save_predictions(
+            args.output, result["name"],
+            result["input_locs"], result["input_sdf"],
+            tuple(int(d) for d in result["orig_dims"]),
+            target_for_sdf=None, target_for_occs=None,
+            pred_surf=(result["surf_locs"], result["surf_sdf"]),
+            pred_occ_locs=None,
+            truncation=args.truncation,
+        )
+    print(f"\ndone; mean inference time "
+          f"{np.mean(times[1:]) if len(times) > 1 else float('nan'):.3f}s")
+
+
+if __name__ == "__main__":
+    main()
