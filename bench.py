@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Benchmark: whole-scene SG-NN completion throughput on one TPU chip.
+
+Workload: the BASELINE.json headline config — fully-convolutional scene
+completion (4 hierarchy levels + surface SDF prediction) on a synthetic
+mp-rooms-sized volume (96x192x192 voxels @ 2cm ~ a 1.9m x 3.8m x 3.8m
+room, ~68k active input voxels), matching test_scene.py's per-scene
+forward.
+
+Timing method: the execution tunnel on this host reports async dispatch
+times (block_until_ready does not block on remote completion), so naive
+wall-clocking lies. Instead K forwards are CHAINED inside one jitted
+lax.fori_loop whose final scalar is fetched to host — fetching forces the
+whole chain — and two different K values are differenced to cancel the
+fixed fetch/tunnel overhead. The loop bound is a traced argument so one
+compile serves all K.
+
+vs_baseline: measured against the CPU inference path the reference
+supports (test_scene.py --cpu). Proxy: this same forward jitted on the
+host CPU (all cores) measures 0.0355 scenes/sec (28.2 s/scene) on this
+machine — see /tmp-free probe in repo history; override with
+SGNN_BENCH_CPU_BASELINE.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+SCENE_DIM = (96, 192, 192)
+FRACTIONS = (1.0, 0.4, 0.2, 0.1)
+CPU_BASELINE_SCENES_PER_SEC = float(
+    os.environ.get("SGNN_BENCH_CPU_BASELINE", 0.0355)
+)
+
+
+def main():
+    if os.environ.get("SGNN_BENCH_ON_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from sgnn_tpu.config import SGNNConfig
+    from sgnn_tpu.models import sgnn as M
+    from sgnn_tpu.ops.sparse import make_sparse
+    from __graft_entry__ import _synthetic_sparse_input
+
+    cfg = SGNNConfig(
+        input_dim=SCENE_DIM, batch_size=1, num_hierarchy_levels=4,
+        occupancy_fractions=FRACTIONS,
+    )
+    params, stats = M.genmodel_init(jax.random.PRNGKey(0), cfg)
+    locs, feats, num = _synthetic_sparse_input(cfg)
+    jl, jf, jn = jnp.asarray(locs), jnp.asarray(feats), jnp.asarray(num)
+
+    @jax.jit
+    def chain(params, stats, locs, feats, num_valid, k):
+        def body(i, carry):
+            f, acc = carry
+            st = make_sparse(locs, f, num_valid, cfg.input_dim, 1)
+            out, _ = M.genmodel_apply(
+                params, stats, cfg, st,
+                num_refine_active=cfg.num_refine_levels, do_surf=True,
+                training=False,
+            )
+            s = jnp.sum(out.surf_sdf) + jnp.mean(out.coarse_out)
+            # feed a perturbation forward so iteration i+1 depends on i
+            f2 = f * (1.0 + 1e-6 * jnp.tanh(s))
+            return (f2, acc + s)
+
+        _, acc = jax.lax.fori_loop(
+            0, k, body, (feats, jnp.float32(0.0))
+        )
+        return acc
+
+    def run(k):
+        t0 = time.time()
+        v = float(chain(params, stats, jl, jf, jn, jnp.int32(k)))
+        return time.time() - t0, v
+
+    print("compiling + warmup...", file=sys.stderr)
+    t_compile, _ = run(1)
+    print(f"compile+first: {t_compile:.1f}s", file=sys.stderr)
+    k1, k2 = 2, 22
+    t1, _ = run(k1)
+    t2, _ = run(k2)
+    print(f"t(k={k1})={t1:.3f}s t(k={k2})={t2:.3f}s", file=sys.stderr)
+    per_scene = (t2 - t1) / (k2 - k1)
+    if per_scene <= 0:
+        # timing noise swamped the difference; report a lower bound
+        per_scene = t2 / k2
+    scenes_per_sec = 1.0 / per_scene
+    result = {
+        "metric": "whole-scene completion fwd, 96x192x192@2cm, "
+                  "L=4+surface, scenes/sec/chip",
+        "value": round(scenes_per_sec, 3),
+        "unit": "scenes/sec",
+        "vs_baseline": round(scenes_per_sec / CPU_BASELINE_SCENES_PER_SEC, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

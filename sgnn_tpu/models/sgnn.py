@@ -157,7 +157,8 @@ def tsdf_encoder_apply(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
     )
     occ = D.conv3d(y, params["occpred"])
     sdf = D.conv3d(y, params["sdfpred"])
-    out = jnp.concatenate([occ, sdf], -1)  # [B, Z8, Y8, X8, 2]
+    # heads in f32: the loss and the occupancy threshold consume these
+    out = jnp.concatenate([occ, sdf], -1).astype(jnp.float32)
     return y, out, feats_sparse, s
 
 
@@ -214,17 +215,21 @@ def refinement_apply(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
         params["n2"], stats["n2"], up.feats, up.valid(),
         training=training, relu=True, axis_name=axis_name,
     )
-    occ = y @ params["linear"]["weight"] + params["linear"]["bias"]
-    sdf = y @ params["linearsdf"]["weight"] + params["linearsdf"]["bias"]
+    occ = (y @ params["linear"]["weight"] + params["linear"]["bias"]).astype(
+        jnp.float32
+    )
+    sdf = (
+        y @ params["linearsdf"]["weight"] + params["linearsdf"]["bias"]
+    ).astype(jnp.float32)
     out = jnp.concatenate([occ, sdf], -1)  # [8*cap, 2]
 
     keep = (jax.nn.sigmoid(occ[:, 0]) > 0.5) & up.valid()
     if cfg.pass_feats and cfg.pass_occ:
-        nxt_feats = jnp.concatenate([y, out], -1)
+        nxt_feats = jnp.concatenate([y, out.astype(y.dtype)], -1)
     elif cfg.pass_feats:
         nxt_feats = y
     else:
-        nxt_feats = out
+        nxt_feats = out.astype(y.dtype)
     (nl, nf_), num, overflow = C.compact(
         keep, (up.locs, nxt_feats), out_capacity
     )
@@ -261,7 +266,9 @@ def surface_pred_apply(params, stats, st: SparseTensor, *, training,
         params["p3"], stats["p3"], x.feats, x.valid(),
         training=training, relu=True, axis_name=axis_name,
     )
-    sdf = y @ params["linear"]["weight"] + params["linear"]["bias"]
+    sdf = (y @ params["linear"]["weight"] + params["linear"]["bias"]).astype(
+        jnp.float32
+    )
     return sdf, s
 
 
@@ -361,6 +368,12 @@ def genmodel_apply(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
     loss_weights[h+1]==0, model.py:387-396).
     """
     s: dict[str, Any] = {}
+    # compute dtype: params stay f32; features flow in cfg.compute_dtype
+    # (bf16 keeps the MXU fed at 2x rate; GEMM/BN accumulate in f32 and all
+    # prediction heads emit f32)
+    dt = jnp.dtype(cfg.compute_dtype)
+    if st.feats.dtype != dt:
+        st = st.with_feats(st.feats.astype(dt))
     x_dense, coarse_out, feats_sparse, s["encoder"] = tsdf_encoder_apply(
         params["encoder"], stats["encoder"], cfg, st,
         training=training, axis_name=axis_name,
@@ -370,7 +383,7 @@ def genmodel_apply(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
     keep = jax.nn.sigmoid(coarse_out[..., 0]) > 0.5
     feat_list = []
     if cfg.pass_occ:
-        feat_list.append(coarse_out)
+        feat_list.append(coarse_out.astype(dt))
     if cfg.pass_feats:
         feat_list.append(x_dense)
     dense_feats = jnp.concatenate(feat_list, -1)

@@ -55,7 +55,9 @@ def gather_gemm(
         gathered = table[rows]  # [cap, g, Cin] (row 0 = zeros)
         lhs = gathered.reshape(cap, size * cin)
         rhs = weight[start : start + size].reshape(size * cin, cout)
-        out = out + jnp.dot(lhs, rhs, preferred_element_type=accum_dtype)
+        out = out + jnp.dot(
+            lhs, rhs.astype(feats.dtype), preferred_element_type=accum_dtype
+        )
     return out.astype(feats.dtype)
 
 
