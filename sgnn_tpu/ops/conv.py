@@ -48,6 +48,13 @@ def gather_gemm(
     """
     cap, cin = feats.shape
     K, _, cout = weight.shape
+    from sgnn_tpu.ops.pallas.gather_gemm import (
+        gather_gemm_pallas, pallas_applicable,
+    )
+
+    if pallas_applicable(cap + 1, cin, feats.dtype):
+        return gather_gemm_pallas(feats, nbr_rows, weight,
+                                  accum_dtype=accum_dtype)
     table = jnp.concatenate([jnp.zeros((1, cin), feats.dtype), feats], axis=0)
     out = jnp.zeros((cap, cout), accum_dtype)
     for start, size in _tap_groups(K, cin):

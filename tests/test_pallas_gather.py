@@ -1,0 +1,27 @@
+"""Pallas fused gather-GEMM vs the XLA reference path (interpret mode)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sgnn_tpu.ops import conv as CV
+from sgnn_tpu.ops.pallas.gather_gemm import gather_gemm_pallas
+
+
+def test_pallas_gather_gemm_matches_xla(rng):
+    cap, cin, cout, K = 700, 16, 16, 27  # cap not a tile multiple
+    feats = jnp.asarray(rng.randn(cap, cin).astype(np.float32))
+    nbr = jnp.asarray(rng.randint(0, cap + 1, size=(cap, K)), jnp.int32)
+    w = jnp.asarray(rng.randn(K, cin, cout).astype(np.float32) * 0.2)
+    ref = CV.gather_gemm(feats, nbr, w)
+    got = gather_gemm_pallas(feats, nbr, w, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_gather_gemm_zero_rows(rng):
+    cap, cin, cout, K = 512, 8, 4, 8
+    feats = jnp.asarray(rng.randn(cap, cin).astype(np.float32))
+    nbr = jnp.zeros((cap, K), jnp.int32)  # all missing -> zeros
+    w = jnp.asarray(rng.randn(K, cin, cout).astype(np.float32))
+    got = gather_gemm_pallas(feats, nbr, w, interpret=True)
+    assert (np.asarray(got) == 0).all()
