@@ -132,6 +132,62 @@ class Trainer:
             )
         return self._eval_steps[key]
 
+    # -------------------------------------------------------- visualization
+    def visualize_batch(self, batch, out_dir):
+        """Dump input/pred/target meshes + per-level occupancy point clouds
+        for one batch (reference per-epoch vis, train.py:307-319)."""
+        import jax
+        import jax.numpy as jnp
+
+        from sgnn_tpu.meshing.export import save_predictions
+        from sgnn_tpu.models import sgnn as MM
+        from sgnn_tpu.ops.sparse import make_sparse
+
+        cfg = self.cfg
+        n = int(batch["input_num_valid"])
+        # single-device forward on the first cfg.batch_size samples
+        B = cfg.batch_size
+        mask = batch["input_locs"][:n, 3] < B
+        locs = np.full((cfg.input_cap, 4), -1, np.int32)
+        feats = np.zeros((cfg.input_cap, 1), np.float32)
+        k = min(int(mask.sum()), cfg.input_cap)
+        locs[:k] = batch["input_locs"][:n][mask][:k]
+        feats[:k] = batch["input_sdf"][:n][mask][:k]
+        st = make_sparse(locs, feats, k, cfg.input_dim, B)
+        out, _ = MM.genmodel_apply(
+            self.state.params, self.state.stats, cfg, st,
+            num_refine_active=cfg.num_refine_levels, do_surf=True,
+            training=False,
+        )
+        out = jax.device_get(out)
+        dims = cfg.input_dim
+        names = batch.get("names", [str(i) for i in range(B)])
+        sn = int(out.surf_num_valid)
+        slocs = np.asarray(out.surf_locs[:sn])
+        ssdf = np.asarray(out.surf_sdf[:sn, 0])
+        for b in range(B):
+            name = names[b] if b < len(names) else str(b)
+            im = locs[:k][locs[:k, 3] == b]
+            iv = feats[:k][locs[:k, 3] == b][:, 0]
+            pred_occs = []
+            for locs_u, out_u, num_u in out.refine_outs:
+                nu = int(num_u)
+                lu = np.asarray(locs_u[:nu])
+                ou = np.asarray(out_u[:nu])
+                m = (lu[:, 3] == b) & (
+                    1 / (1 + np.exp(-ou[:, 0].astype(np.float64))) > 0.5
+                )
+                pred_occs.append(lu[m][:, :3])
+            sm = slocs[:, 3] == b if sn else np.zeros(0, bool)
+            save_predictions(
+                out_dir, name, im[:, :3], iv, dims,
+                target_for_sdf=batch["sdf"][b] if "sdf" in batch else None,
+                target_for_occs=None,
+                pred_surf=(slocs[sm][:, :3], ssdf[sm]) if sn else None,
+                pred_occ_locs=pred_occs if pred_occs else None,
+                truncation=self.opts.truncation,
+            )
+
     # ------------------------------------------------------------- training
     def run_step(self, batch, with_metrics=False):
         """One optimization step on a collated global batch."""
@@ -177,7 +233,17 @@ class Trainer:
             self.epoch = epoch
             start = time.time()
             accum = _MetricAccum(L)
+            vis_batch = None
+            num_batches = len(train_loader)
+            t = -1
             for batch in train_loader:
+                t += 1
+                if (
+                    opts.save_epoch
+                    and epoch % opts.save_epoch == 0
+                    and t + 2 == num_batches
+                ):
+                    vis_batch = batch  # 2nd-to-last batch (train.py:270)
                 with_metrics = (self.iteration % opts.log_every) == 0
                 metrics, lw = self.run_step(batch, with_metrics)
                 accum.add(metrics, with_metrics)
@@ -204,6 +270,24 @@ class Trainer:
                 if opts.max_steps and self.iteration >= opts.max_steps:
                     done = True
                     break
+            if vis_batch is not None:
+                lw = S.get_loss_weights(
+                    self.iteration, opts.num_hierarchy_levels,
+                    opts.num_iters_per_level, opts.weight_sdf_loss,
+                )
+                if S.active_levels(lw) == (
+                    opts.num_hierarchy_levels - 1, True
+                ):
+                    try:
+                        self.visualize_batch(
+                            vis_batch,
+                            os.path.join(
+                                log_dir,
+                                f"iter{self.iteration}-epoch{epoch}", "train",
+                            ),
+                        )
+                    except Exception as e:
+                        print(f"[vis] skipped: {e}")
             if val_loader is not None and not done:
                 self.validate(val_loader, val_f, epoch)
             CK.save_checkpoint(
