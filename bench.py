@@ -87,7 +87,8 @@ def main():
     print("compiling + warmup...", file=sys.stderr)
     t_compile, _ = run(1)
     print(f"compile+first: {t_compile:.1f}s", file=sys.stderr)
-    k1, k2 = 2, 22
+    k1 = int(os.environ.get("SGNN_BENCH_K1", 2))
+    k2 = int(os.environ.get("SGNN_BENCH_K2", 10))
     t1, _ = run(k1)
     t2, _ = run(k2)
     print(f"t(k={k1})={t1:.3f}s t(k={k2})={t2:.3f}s", file=sys.stderr)

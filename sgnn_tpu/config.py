@@ -37,6 +37,9 @@ class SGNNConfig:
     # derive refinement capacities from full voxel counts.
     occupancy_fractions: tuple[float, ...] = (1.0, 0.5, 0.25, 0.125)
     compute_dtype: str = "float32"
+    # sparse-conv execution backend: "gather" (index-grid gathers + GEMMs)
+    # or "dense" (densify -> MXU conv -> gather); see ops/conv.py
+    conv_backend: str = "gather"
 
     def __post_init__(self):
         assert self.num_hierarchy_levels > 1, "must be > 1 (train.py:61)"

@@ -374,6 +374,7 @@ def genmodel_apply(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
     dt = jnp.dtype(cfg.compute_dtype)
     if st.feats.dtype != dt:
         st = st.with_feats(st.feats.astype(dt))
+    CV.set_backend(cfg.conv_backend)  # trace-time static choice
     x_dense, coarse_out, feats_sparse, s["encoder"] = tsdf_encoder_apply(
         params["encoder"], stats["encoder"], cfg, st,
         training=training, axis_name=axis_name,

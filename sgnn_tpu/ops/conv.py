@@ -21,11 +21,46 @@ the active sites — which is exactly what the unit tests check against.
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 
 from sgnn_tpu.ops import coords as C
-from sgnn_tpu.ops.sparse import SparseTensor, make_sparse
+from sgnn_tpu.ops.sparse import (
+    SparseTensor,
+    gather_dense,
+    make_sparse,
+    sparse_to_dense,
+)
+
+# Execution backend for sparse convolutions:
+#   "gather" — index-grid gathers + tap-grouped GEMMs (true sparse compute;
+#              memory scales with active sites)
+#   "dense"  — densify -> XLA conv on the MXU -> gather at active sites.
+#              At SG-NN occupancies (1-50%) and tiny channel counts the
+#              dense conv often wins on TPU: it reads each voxel once and
+#              keeps the systolic array fully fed, while gathers are
+#              bandwidth-bound random access.
+# Both are semantically identical (verified against each other in tests).
+_BACKEND = "gather"
+
+
+def set_backend(name: str):
+    global _BACKEND
+    assert name in ("gather", "dense"), name
+    _BACKEND = name
+
+
+@contextlib.contextmanager
+def backend(name: str):
+    global _BACKEND
+    prev = _BACKEND
+    set_backend(name)
+    try:
+        yield
+    finally:
+        _BACKEND = prev
 
 
 def _tap_groups(num_taps: int, cin: int, target_k: int = 128) -> list[tuple[int, int]]:
@@ -117,6 +152,22 @@ def submanifold_conv3d(
     assert weight.shape[0] == offsets.shape[0], (
         f"weight taps {weight.shape[0]} != offsets {offsets.shape[0]}"
     )
+    if _BACKEND == "dense":
+        dense = sparse_to_dense(st)  # [B, Z, Y, X, C]
+        w = weight.reshape(
+            filter_size, filter_size, filter_size, *weight.shape[1:]
+        ).astype(dense.dtype)
+        pad = (filter_size - 1) // 2
+        y = jax.lax.conv_general_dilated(
+            dense, w,
+            window_strides=(1, 1, 1),
+            padding=[(pad, pad)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(dense.dtype)
+        out = gather_dense(y, st.locs)
+        out = jnp.where(st.valid()[:, None], out, 0)
+        return st.with_feats(out)
     if index_grid is None:
         index_grid = st.index_grid()
     rows = neighbor_rows(
@@ -149,13 +200,26 @@ def strided_conv3d_down(
     out_locs, num_out, _ = C.unique_locs(
         parents, st.num_valid, out_size, st.batch_size, cap_out
     )
-    if index_grid is None:
-        index_grid = st.index_grid()
-    offsets = C.neighbor_offsets(2)  # {0,1}^3, C order
-    rows = neighbor_rows(
-        out_locs, index_grid, offsets, st.spatial_size, st.batch_size, scale=2
-    )
-    out = gather_gemm(st.masked_feats(), rows, weight)
+    if _BACKEND == "dense":
+        dense = sparse_to_dense(st)
+        w = weight.reshape(2, 2, 2, *weight.shape[1:]).astype(dense.dtype)
+        y = jax.lax.conv_general_dilated(
+            dense, w,
+            window_strides=(2, 2, 2),
+            padding="VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(dense.dtype)
+        out = gather_dense(y, out_locs)
+    else:
+        if index_grid is None:
+            index_grid = st.index_grid()
+        offsets = C.neighbor_offsets(2)  # {0,1}^3, C order
+        rows = neighbor_rows(
+            out_locs, index_grid, offsets, st.spatial_size, st.batch_size,
+            scale=2,
+        )
+        out = gather_gemm(st.masked_feats(), rows, weight)
     out_valid = C.valid_mask(num_out, cap_out)
     out = jnp.where(out_valid[:, None], out, 0)
     return make_sparse(out_locs, out, num_out, out_size, st.batch_size)
