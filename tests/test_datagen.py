@@ -189,3 +189,22 @@ def test_obb_zup(rng):
     # OBB is tight: volume close to the true box volume (4*1*2)
     vol = np.prod(2 * obb.half)
     assert vol < 4 * 1 * 2 * 1.3
+
+
+def test_segmentation_parsers(tmp_path):
+    from sgnn_tpu.datagen.segmentation import (
+        SemanticSegmentation, VertexSegmentation,
+    )
+
+    vs = tmp_path / "r.vsegs.json"
+    vs.write_text('{"sceneId":"s1","segIndices":[5,5,7,9,7]}')
+    ss = tmp_path / "r.semseg.json"
+    ss.write_text(
+        '{"sceneId":"s1","segGroups":[{"id":0,"label":"chair",'
+        '"segments":[5,9]},{"id":1,"label":"table","segments":[7]}]}'
+    )
+    v = VertexSegmentation.load(str(vs))
+    s = SemanticSegmentation.load(str(ss))
+    assert list(v.vertices_for_segments([7])) == [2, 4]
+    labels = s.vertex_labels(v)
+    assert labels.tolist() == [0, 0, 1, 0, 1]
