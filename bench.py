@@ -44,6 +44,15 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     import jax
+
+    # persistent compile cache: the model graph takes minutes to compile on
+    # TPU; cached executables make repeat benchmark runs near-instant
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     import jax.numpy as jnp
 
     from sgnn_tpu.config import SGNNConfig
