@@ -26,6 +26,17 @@ from sgnn_tpu.data import formats as F
 UP_AXIS = 0  # z (train.py:73)
 
 
+def shard_files(files, host_id: int, num_hosts: int):
+    """Disjoint per-host file shards for multi-host (pod-slice) training.
+
+    Each host loads only its stride-slice of the file list; combined with
+    per-device batch sharding this gives pure data parallelism over DCN+ICI
+    with no duplicate IO (the reference is single-process and has no
+    equivalent).
+    """
+    return files[host_id::num_hosts]
+
+
 class SceneDataset:
     def __init__(
         self,

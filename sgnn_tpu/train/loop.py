@@ -95,13 +95,16 @@ class Trainer:
         self.state = create_train_state(params, stats, opts.weight_decay)
         self.start_epoch = opts.start_epoch
         self.iteration = 0
-        if opts.retrain:
-            self.state, meta = CK.load_checkpoint(opts.retrain, self.state)
+        retrain = opts.retrain
+        if retrain == "auto":
+            retrain = latest_checkpoint(opts.save) or ""
+        if retrain:
+            self.state, meta = CK.load_checkpoint(retrain, self.state)
             self.start_epoch = (
                 opts.start_epoch if opts.start_epoch != 0 else meta["epoch"]
             )
             self.iteration = meta.get("iteration", 0)
-            print(f"loaded checkpoint {opts.retrain} (epoch {self.start_epoch})")
+            print(f"loaded checkpoint {retrain} (epoch {self.start_epoch})")
         self._steps = {}
         self._eval_steps = {}
 
@@ -244,10 +247,13 @@ class Trainer:
                     and t + 2 == num_batches
                 ):
                     vis_batch = batch  # 2nd-to-last batch (train.py:270)
-                with_metrics = (self.iteration % opts.log_every) == 0
+                with_metrics = (
+                    opts.log_every > 0
+                    and (self.iteration % opts.log_every) == 0
+                )
                 metrics, lw = self.run_step(batch, with_metrics)
                 accum.add(metrics, with_metrics)
-                if self.iteration % opts.log_every == 0:
+                if opts.log_every > 0 and self.iteration % opts.log_every == 0:
                     took = time.time() - start
                     row = accum.row(epoch, self.iteration, took)
                     log_f.write(",".join(str(v) for v in row) + "\n")
@@ -333,6 +339,18 @@ class Trainer:
         return result
 
     epoch: int = 0
+
+
+def latest_checkpoint(save_dir):
+    """Newest .ckpt in a run directory (--retrain auto: elastic resume)."""
+    if not os.path.isdir(save_dir):
+        return None
+    cks = [
+        os.path.join(save_dir, f)
+        for f in os.listdir(save_dir)
+        if f.endswith(".ckpt")
+    ]
+    return max(cks, key=os.path.getmtime) if cks else None
 
 
 def _mean_valid(vals):

@@ -123,3 +123,38 @@ def test_fit_writes_logs(chunk_files, tmp_path):
     assert len(log) >= 2
     cks = [f for f in os.listdir(opts.save) if f.endswith(".ckpt")]
     assert cks  # per-epoch checkpoint
+
+
+def test_auto_resume(chunk_files, tmp_path):
+    from sgnn_tpu.train.loop import latest_checkpoint
+
+    save = str(tmp_path / "logs")
+    opts = TrainOptions(
+        input_dim=(16, 16, 16), encoder_dim=4, coarse_feat_dim=8,
+        refine_feat_dim=8, num_hierarchy_levels=3,
+        num_iters_per_level=1000, batch_size=2, max_epoch=1, num_devices=2,
+        occupancy_fractions=(1.0, 1.0, 1.0), max_steps=1, log_every=0,
+        ckpt_every=0, save=save,
+    )
+    trainer = Trainer(opts)
+    ds = SceneDataset(chunk_files, 3.0, 3)
+    loader = BatchLoader(ds, 2, trainer.cfg.input_cap * 2)
+    trainer.fit(loader, log_dir=save)
+    assert latest_checkpoint(save) is not None
+    # resume with --retrain auto
+    opts2 = TrainOptions(**{**opts.__dict__, "retrain": "auto"})
+    trainer2 = Trainer(opts2)
+    assert trainer2.start_epoch == 1
+
+
+def test_shard_files():
+    from sgnn_tpu.data.dataset import shard_files
+
+    files = [f"f{i}" for i in range(10)]
+    shards = [shard_files(files, h, 4) for h in range(4)]
+    assert sum(len(s) for s in shards) == 10
+    assert set().union(*[set(s) for s in shards]) == set(files)
+    assert all(
+        not (set(a) & set(b))
+        for i, a in enumerate(shards) for b in shards[i + 1:]
+    )
