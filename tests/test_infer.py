@@ -136,3 +136,43 @@ def test_cli_end_to_end(scene_dirs, tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     files = os.listdir(out)
     assert any("input-mesh" in f for f in files), (files, r.stdout)
+
+
+def test_evaluate_cli(scene_dirs, tmp_path):
+    from sgnn_tpu.train.checkpoint import save_checkpoint
+    from sgnn_tpu.train.state import create_train_state
+
+    inp_dir, tgt_dir, _ = scene_dirs
+    params, stats = genmodel_init(jax.random.PRNGKey(0), CFG)
+    state = create_train_state(params, stats)
+    ckpt = str(tmp_path / "model.ckpt")
+    save_checkpoint(ckpt, state, epoch=0, iteration=0)
+    fl = tmp_path / "list.txt"
+    fl.write_text("roomA.sdf\n")
+    out = str(tmp_path / "metrics.json")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(ROOT, "tools", "evaluate.py"),
+            "--input_data_path", inp_dir,
+            "--target_data_path", tgt_dir,
+            "--test_file_list", str(fl),
+            "--model_path", ckpt,
+            "--output", out,
+            "--num_hierarchy_levels", "3",
+            "--encoder_dim", "4",
+            "--coarse_feat_dim", "8",
+            "--refine_feat_dim", "8",
+            "--max_input_height", "0",
+            "--occupancy_fractions", "1.0", "1.0", "1.0",
+            "--cpu",
+        ],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    import json as _json
+
+    m = _json.load(open(out))
+    assert "aggregate" in m and len(m["scenes"]) == 1
+    s = m["scenes"][0]
+    assert np.isfinite(s["l1_tgt"]) and s["l1_tgt"] >= 0
