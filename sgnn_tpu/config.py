@@ -40,6 +40,10 @@ class SGNNConfig:
     # sparse-conv execution backend: "gather" (index-grid gathers + GEMMs)
     # or "dense" (densify -> MXU conv -> gather); see ops/conv.py
     conv_backend: str = "gather"
+    # model execution mode: "sparse" (coordinate lists, models/sgnn.py) or
+    # "dense_flow" (masked dense grids end-to-end, models/dense_flow.py —
+    # the fast path on TPU: no gathers/scatters/sorts in the train graph)
+    execution: str = "sparse"
 
     def __post_init__(self):
         assert self.num_hierarchy_levels > 1, "must be > 1 (train.py:61)"

@@ -31,15 +31,30 @@ class SceneInferencer:
     def _get_fn(self, dims: tuple[int, int, int]):
         if dims not in self._cache:
             cfg = self.cfg_base.for_scene(dims)
+            if cfg.execution == "dense_flow":
+                from sgnn_tpu.models import dense_flow as DF
 
-            def fn(params, stats, locs, feats, num_valid):
-                st = make_sparse(locs, feats, num_valid, cfg.input_dim, 1)
-                out, _ = M.genmodel_apply(
-                    params, stats, cfg, st,
-                    num_refine_active=cfg.num_refine_levels, do_surf=True,
-                    training=False,
-                )
-                return out
+                def fn(params, stats, locs, feats, num_valid):
+                    st = make_sparse(
+                        locs, feats, num_valid, cfg.input_dim, 1
+                    )
+                    out, _ = DF.genmodel_apply_dense(
+                        params, stats, cfg, st,
+                        num_refine_active=cfg.num_refine_levels,
+                        do_surf=True, training=False,
+                    )
+                    return out
+            else:
+                def fn(params, stats, locs, feats, num_valid):
+                    st = make_sparse(
+                        locs, feats, num_valid, cfg.input_dim, 1
+                    )
+                    out, _ = M.genmodel_apply(
+                        params, stats, cfg, st,
+                        num_refine_active=cfg.num_refine_levels,
+                        do_surf=True, training=False,
+                    )
+                    return out
 
             self._cache[dims] = (jax.jit(fn), cfg)
         return self._cache[dims]
@@ -67,6 +82,8 @@ class SceneInferencer:
         )
         out = jax.device_get(out)
         orig = np.asarray(sample["orig_dims"])
+        if cfg.execution == "dense_flow":
+            return self._postprocess_dense(sample, out, orig, locs3, n)
 
         def unpad(locs_arr, num_valid, *vals):
             k = int(num_valid)
@@ -85,6 +102,45 @@ class SceneInferencer:
             l, o = unpad_level = unpad(locs_u, num_u, np.asarray(out_u))
             levels.append({"locs": l, "out": o})
 
+        in_locs = locs3[:n]
+        m = (
+            (in_locs[:, 0] < orig[0])
+            & (in_locs[:, 1] < orig[1])
+            & (in_locs[:, 2] < orig[2])
+        )
+        return {
+            "name": sample["name"],
+            "surf_locs": surf_locs,
+            "surf_sdf": surf_sdf,
+            "levels": levels,
+            "input_locs": in_locs[m],
+            "input_sdf": sample["input_sdf"][:n][m],
+            "orig_dims": orig,
+            "world2grid": sample["world2grid"],
+        }
+
+    def _postprocess_dense(self, sample, out, orig, locs3, n):
+        """Host-side sparse extraction from DenseFlowOutput (no capacity
+        limits: np.nonzero on the final masks)."""
+        def unpad_mask(mask):
+            m = np.asarray(mask[0]).copy()
+            m[orig[0]:, :, :] = False
+            m[:, orig[1]:, :] = False
+            m[:, :, orig[2]:] = False
+            return m
+
+        sm = unpad_mask(out.surf_mask)
+        z, y, x = np.nonzero(sm)
+        surf_locs = np.stack([z, y, x], -1).astype(np.int32)
+        surf_sdf = np.asarray(out.surf_sdf[0])[z, y, x]
+        levels = [{"dense_out": np.asarray(out.coarse_out)[0]}]
+        for grid, mask in zip(out.refine_outs, out.refine_masks_unfilt):
+            mm = np.asarray(mask[0])
+            zz, yy, xx = np.nonzero(mm)
+            levels.append({
+                "locs": np.stack([zz, yy, xx], -1).astype(np.int32),
+                "out": np.asarray(grid[0])[zz, yy, xx],
+            })
         in_locs = locs3[:n]
         m = (
             (in_locs[:, 0] < orig[0])

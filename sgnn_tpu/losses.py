@@ -210,6 +210,112 @@ def compute_l1_dense(
     return _masked_mean(l, mask)
 
 
+def compute_weights_missing_geo_dense(
+    weight_missing_geo: float,
+    input_mask: jax.Array,  # [B, Z, Y, X] bool: sparse-input active sites
+    num_levels: int,
+) -> list:
+    """Dense-mask variant of compute_weights_missing_geo."""
+    w = jnp.where(input_mask, 1.0, weight_missing_geo).astype(jnp.float32)
+    weights = [None] * num_levels
+    weights[-1] = w
+    for h in range(num_levels - 2, -1, -1):
+        weights[h] = D.subsample2(weights[h + 1])
+    return weights
+
+
+def compute_loss_dense_flow(
+    model_out,  # DenseFlowOutput
+    targets: TargetBundle,
+    loss_weights: jax.Array,
+    truncation: float,
+    *,
+    num_refine_active: int,
+    do_surf: bool,
+    use_log_transform: bool = True,
+    weight_missing_geo: float = 1.0,
+    input_mask: jax.Array | None = None,
+    use_loss_masking: bool = True,
+    known: jax.Array | None = None,
+):
+    """compute_loss for the dense-flow execution: every level is a dense
+    prediction grid + site mask; identical math to the sparse version
+    (losses evaluated at the unpruned upsampled sites, loss.py:160-199)."""
+    L = len(targets.target_for_occs)
+    weights = [None] * L
+    if weight_missing_geo > 1:
+        weights = compute_weights_missing_geo_dense(
+            weight_missing_geo, input_mask, L
+        )
+
+    losses = []
+    total = jnp.zeros((), jnp.float32)
+
+    occ0 = targets.target_for_occs[0]
+    unk0 = occ0 == UNK_ID
+    lvl0 = compute_bce_dense(
+        model_out.coarse_out[..., 0], occ0, weights[0], use_loss_masking
+    ) + compute_l1_dense(
+        model_out.coarse_out[..., 1], targets.target_for_hier[0], weights[0],
+        use_log_transform, use_loss_masking, unk0,
+    )
+    total = total + loss_weights[0] * lvl0
+    losses.append(lvl0)
+
+    def masked_level(pred, site_mask, occ_t, hier_t, w):
+        unk = occ_t == UNK_ID
+        bmask = site_mask
+        if use_loss_masking:
+            bmask = bmask & ~unk
+        tgt = jnp.where(occ_t == UNK_ID, 0.0, occ_t) if not use_loss_masking \
+            else occ_t
+        l = bce_with_logits(pred[..., 0], tgt)
+        if w is not None:
+            l = l * w
+        bce = _masked_mean(l, bmask)
+        p, t = pred[..., 1], hier_t
+        if use_log_transform:
+            p, t = apply_log_transform(p), apply_log_transform(t)
+        l1 = jnp.abs(p - t)
+        if w is not None:
+            l1 = l1 * w
+        lmask = site_mask
+        if use_loss_masking:
+            lmask = lmask & ~unk
+        return bce + _masked_mean(l1, lmask)
+
+    for h in range(1, L):
+        if h - 1 < num_refine_active:
+            lvl = masked_level(
+                model_out.refine_outs[h - 1],
+                model_out.refine_masks_unfilt[h - 1],
+                targets.target_for_occs[h],
+                targets.target_for_hier[h],
+                weights[h],
+            )
+            total = total + loss_weights[h] * lvl
+            losses.append(lvl)
+        else:
+            losses.append(jnp.float32(-1.0))
+
+    if do_surf:
+        mask = model_out.surf_mask
+        if use_loss_masking and known is not None:
+            mask = mask & (known < UNK_THRESH)
+        p, t = model_out.surf_sdf, targets.target_for_sdf
+        if use_log_transform:
+            p, t = apply_log_transform(p), apply_log_transform(t)
+        l = jnp.abs(p - t)
+        if weights[-1] is not None:
+            l = l * weights[-1]
+        surf = _masked_mean(l, mask)
+        total = total + loss_weights[-1] * surf
+        losses.append(surf)
+    else:
+        losses.append(jnp.float32(-1.0))
+    return total, losses
+
+
 def compute_l1_tgtsurf_sparse_dense(
     locs: jax.Array,
     num_valid: jax.Array,

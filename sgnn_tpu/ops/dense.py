@@ -84,9 +84,10 @@ def max_pool3d(x: jax.Array, window: int = 2) -> jax.Array:
         dims = (1, window, window, window, 1)
     else:
         raise ValueError(f"unsupported rank {x.ndim}")
-    init = jnp.asarray(-jnp.inf, x.dtype) if jnp.issubdtype(
-        x.dtype, jnp.floating
-    ) else jnp.iinfo(x.dtype).min
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        init = jnp.asarray(-jnp.inf, x.dtype)
+    else:
+        init = jnp.asarray(jnp.iinfo(x.dtype).min, x.dtype)
     return jax.lax.reduce_window(
         x, init, jax.lax.max, window_dimensions=dims, window_strides=dims,
         padding="VALID",

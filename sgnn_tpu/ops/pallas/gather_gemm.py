@@ -12,9 +12,15 @@ largest scene levels qualify; ops/conv.py falls back to the XLA path
 otherwise (and when SGNN_TPU_PALLAS_GATHER is unset: the flag gates an
 experimental fast path, selected per-call by table size).
 
-The gather itself uses jnp.take along axis 0 inside the kernel, which
-Mosaic lowers to its VMEM dynamic-gather; on backends where that lowering
-is unavailable the caller's fallback applies.
+STATUS (measured on TPU v5e via Mosaic in jax 0.9): Mosaic's gather
+lowering only accepts `tpu.dynamic_gather` with input, indices and output
+sharing one 2D shape (a lane-wise shuffle — see
+jax/_src/pallas/mosaic/lowering.py:_gather_lowering_rule), so an arbitrary
+row-gather from a VMEM table cannot be expressed efficiently yet. The
+kernel is therefore OFF by default (correct under interpret mode, exercised
+in tests) and the XLA path remains the production one. The dense-flow
+execution mode (models/dense_flow.py) sidesteps gathers entirely and is
+the fast path on TPU.
 """
 
 from __future__ import annotations
@@ -43,7 +49,10 @@ def pallas_applicable(table_rows: int, cin: int, dtype) -> bool:
 def _kernel(nbr_ref, table_ref, w_ref, out_ref, *, K, cin, accum_dtype):
     rows = nbr_ref[:]  # [TILE, K] int32 (row+1; 0 = zero row of table)
     tile = rows.shape[0]
-    gathered = jnp.take(table_ref[:], rows.reshape(-1), axis=0)
+    # Mosaic lowers gathers in take_along_axis form: indices shaped like
+    # the output, gathering along axis 0 of the VMEM-resident table.
+    idx = jnp.broadcast_to(rows.reshape(tile * K, 1), (tile * K, cin))
+    gathered = jnp.take_along_axis(table_ref[:], idx, axis=0)
     lhs = gathered.reshape(tile, K * cin)
     out_ref[:] = jnp.dot(
         lhs, w_ref[:], preferred_element_type=accum_dtype

@@ -62,6 +62,8 @@ class TrainOptions:
     num_devices: int = 0  # 0 = all
     input_capacity: int = 0
     occupancy_fractions: tuple = (1.0, 0.5, 0.25, 0.125)
+    execution: str = "sparse"  # "sparse" | "dense_flow"
+    compute_dtype: str = "float32"
     max_steps: int = 0  # 0 = unlimited (for smoke tests/benchmarks)
     log_every: int = 20
     ckpt_every: int = 2000
@@ -89,6 +91,8 @@ class Trainer:
             batch_size=opts.batch_size // self.num_devices,
             input_capacity=opts.input_capacity,
             occupancy_fractions=tuple(opts.occupancy_fractions),
+            execution=opts.execution,
+            compute_dtype=opts.compute_dtype,
         )
         key = jax.random.PRNGKey(opts.seed)
         params, stats = M.genmodel_init(key, self.cfg)

@@ -39,11 +39,41 @@ def _unpack_batch(cfg: SGNNConfig, batch):
     return st, sdf, known, hierarchy
 
 
+def _input_mask(cfg, st):
+    from sgnn_tpu.ops import coords as C
+
+    Z, Y, X = cfg.input_dim
+    keys = C.flat_key(st.locs, cfg.input_dim, cfg.batch_size)
+    keys = jnp.where(st.valid(), keys, -1)
+    return (
+        jnp.zeros((cfg.batch_size * Z * Y * X,), jnp.bool_)
+        .at[C.oob_key(keys)].set(True, mode="drop")
+        .reshape(cfg.batch_size, Z, Y, X)
+    )
+
+
 def _forward_loss(
     params, stats, cfg, st, targets, loss_weights, known, *,
     num_refine_active, do_surf, use_log_transform, weight_missing_geo,
     use_loss_masking, training, axis_name,
 ):
+    if cfg.execution == "dense_flow":
+        from sgnn_tpu.models import dense_flow as DF
+
+        out, new_stats = DF.genmodel_apply_dense(
+            params, stats, cfg, st,
+            num_refine_active=num_refine_active, do_surf=do_surf,
+            training=training, axis_name=axis_name,
+        )
+        total, per_level = L.compute_loss_dense_flow(
+            out, targets, loss_weights, cfg.truncation,
+            num_refine_active=num_refine_active, do_surf=do_surf,
+            use_log_transform=use_log_transform,
+            weight_missing_geo=weight_missing_geo,
+            input_mask=_input_mask(cfg, st),
+            use_loss_masking=use_loss_masking, known=known,
+        )
+        return total, (per_level, out, new_stats)
     out, new_stats = M.genmodel_apply(
         params, stats, cfg, st,
         num_refine_active=num_refine_active, do_surf=do_surf,
@@ -60,9 +90,62 @@ def _forward_loss(
     return total, (per_level, out, new_stats)
 
 
+def _metrics_dense(cfg, out, targets, known, *, num_refine_active, do_surf,
+                   use_loss_masking):
+    """Metrics for DenseFlowOutput: pure masked reductions."""
+    L_levels = cfg.num_hierarchy_levels
+    ious = []
+    occ0 = targets.target_for_occs[0]
+    pred0 = jax.nn.sigmoid(out.coarse_out[..., 0]) > 0.5
+    if use_loss_masking:
+        pred0 = pred0 & (occ0 != L.UNK_ID)
+    tgt1 = occ0 == 1.0
+    inter = jnp.sum(pred0 & tgt1)
+    union = jnp.sum(pred0 | tgt1)
+    ious.append(jnp.where(union > 0, inter / jnp.maximum(union, 1), -1.0))
+    for h in range(1, L_levels):
+        if h - 1 < num_refine_active:
+            occ_t = targets.target_for_occs[h]
+            pred = out.refine_masks_unfilt[h - 1] & (
+                jax.nn.sigmoid(out.refine_outs[h - 1][..., 0]) > 0.5
+            )
+            if use_loss_masking:
+                pred = pred & (occ_t != L.UNK_ID)
+            tgt1 = occ_t == 1.0
+            inter = jnp.sum(pred & tgt1)
+            union = jnp.sum(pred | tgt1)
+            ious.append(
+                jnp.where(union > 0, inter / jnp.maximum(union, 1), -1.0)
+            )
+        else:
+            ious.append(jnp.float32(-1.0))
+    if do_surf:
+        tgt = targets.target_for_sdf
+        m = out.surf_mask
+        if use_loss_masking:
+            m = m & (known < L.UNK_THRESH)
+        l1pred = jnp.sum(jnp.where(m, jnp.abs(out.surf_sdf - tgt), 0.0)) / \
+            jnp.maximum(jnp.sum(m), 1)
+        pred_dense = jnp.where(out.surf_mask, out.surf_sdf, -cfg.truncation)
+        tmask = jnp.abs(tgt) < cfg.truncation
+        if use_loss_masking:
+            tmask = tmask & (known < L.UNK_THRESH)
+        l1tgt = jnp.sum(jnp.where(tmask, jnp.abs(pred_dense - tgt), 0.0)) / \
+            jnp.maximum(jnp.sum(tmask), 1)
+    else:
+        l1pred = jnp.float32(-1.0)
+        l1tgt = jnp.float32(-1.0)
+    return {"iou": jnp.stack(ious), "l1pred": l1pred, "l1tgt": l1tgt}
+
+
 def _metrics(cfg, out, targets, known, *, num_refine_active, do_surf,
              use_loss_masking):
     """IoU per level + surface L1 metrics (train.py:271-297), on device."""
+    if hasattr(out, "refine_masks_unfilt"):
+        return _metrics_dense(
+            cfg, out, targets, known, num_refine_active=num_refine_active,
+            do_surf=do_surf, use_loss_masking=use_loss_masking,
+        )
     L_levels = cfg.num_hierarchy_levels
     ious = []
     # level 0: dense coarse
@@ -140,12 +223,13 @@ def make_train_step(
         total = jax.lax.pmean(total, DATA_AXIS)
         per_level = [jax.lax.pmean(x, DATA_AXIS) for x in per_level]
         new_state = apply_updates(state, grads, new_stats, lr, weight_decay)
+        overflows = getattr(out, "overflows", [])
         metrics = {
             "loss": total,
             "per_level": jnp.stack(per_level),
             "overflow": (
-                jnp.stack(out.overflows).max()
-                if out.overflows else jnp.zeros((), jnp.int32)
+                jnp.stack(overflows).max()
+                if overflows else jnp.zeros((), jnp.int32)
             ),
         }
         if with_metrics:
