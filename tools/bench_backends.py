@@ -46,7 +46,8 @@ def main():
             input_dim=tuple(args.dims), batch_size=1,
             num_hierarchy_levels=4,
             occupancy_fractions=(1.0, 0.4, 0.2, 0.1),
-            conv_backend=backend,
+            conv_backend=backend if backend != "dense_flow" else "gather",
+            execution="dense_flow" if backend == "dense_flow" else "sparse",
             compute_dtype=args.compute_dtype,
         )
         params, stats = M.genmodel_init(jax.random.PRNGKey(0), cfg)
@@ -54,17 +55,33 @@ def main():
         jl, jf, jn = (jnp.asarray(locs), jnp.asarray(feats),
                       jnp.asarray(num))
 
-        @jax.jit
-        def chain(params, stats, locs, feats, num_valid, k, cfg=cfg):
-            def body(i, carry):
-                f, acc = carry
-                st = make_sparse(locs, f, num_valid, cfg.input_dim, 1)
+        if cfg.execution == "dense_flow":
+            from sgnn_tpu.models import dense_flow as DF
+
+            def fwd(params, stats, st, cfg=cfg):
+                out, _ = DF.genmodel_apply_dense(
+                    params, stats, cfg, st,
+                    num_refine_active=cfg.num_refine_levels, do_surf=True,
+                    training=False,
+                )
+                return jnp.sum(
+                    jnp.where(out.surf_mask, out.surf_sdf, 0.0)
+                ) + jnp.mean(out.coarse_out)
+        else:
+            def fwd(params, stats, st, cfg=cfg):
                 out, _ = M.genmodel_apply(
                     params, stats, cfg, st,
                     num_refine_active=cfg.num_refine_levels, do_surf=True,
                     training=False,
                 )
-                s = jnp.sum(out.surf_sdf) + jnp.mean(out.coarse_out)
+                return jnp.sum(out.surf_sdf) + jnp.mean(out.coarse_out)
+
+        @jax.jit
+        def chain(params, stats, locs, feats, num_valid, k, cfg=cfg):
+            def body(i, carry):
+                f, acc = carry
+                st = make_sparse(locs, f, num_valid, cfg.input_dim, 1)
+                s = fwd(params, stats, st)
                 return (f * (1.0 + 1e-6 * jnp.tanh(s)), acc + s)
 
             _, acc = jax.lax.fori_loop(0, k, body, (feats, jnp.float32(0)))
