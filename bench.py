@@ -5,20 +5,22 @@ Workload: the BASELINE.json headline config — fully-convolutional scene
 completion (4 hierarchy levels + surface SDF prediction) on a synthetic
 mp-rooms-sized volume (96x192x192 voxels @ 2cm ~ a 1.9m x 3.8m x 3.8m
 room, ~68k active input voxels), matching test_scene.py's per-scene
-forward.
+forward. Runs the dense-flow execution (models/dense_flow.py) in bf16 —
+the fastest of the three execution modes (see BENCH_NOTES.md for the
+measured comparison; override with SGNN_BENCH_EXEC / SGNN_BENCH_DTYPE).
 
 Timing method: the execution tunnel on this host reports async dispatch
 times (block_until_ready does not block on remote completion), so naive
 wall-clocking lies. Instead K forwards are CHAINED inside one jitted
 lax.fori_loop whose final scalar is fetched to host — fetching forces the
-whole chain — and two different K values are differenced to cancel the
-fixed fetch/tunnel overhead. The loop bound is a traced argument so one
-compile serves all K.
+whole chain — and two K values are differenced to cancel the fixed
+fetch/tunnel overhead. The loop bound is a traced argument so one compile
+serves all K.
 
-vs_baseline: measured against the CPU inference path the reference
-supports (test_scene.py --cpu). Proxy: this same forward jitted on the
-host CPU (all cores) measures 0.0355 scenes/sec (28.2 s/scene) on this
-machine — see /tmp-free probe in repo history; override with
+vs_baseline: the CPU inference path the reference supports
+(test_scene.py --cpu). Proxy: this same model jitted on the host CPU in
+its fastest configuration (sparse/gather f32, all cores) measures
+0.0355 scenes/sec (28.2 s/scene) on this machine; override with
 SGNN_BENCH_CPU_BASELINE.
 """
 
@@ -56,36 +58,51 @@ def main():
     import jax.numpy as jnp
 
     from sgnn_tpu.config import SGNNConfig
+    from sgnn_tpu.models import dense_flow as DF
     from sgnn_tpu.models import sgnn as M
     from sgnn_tpu.ops.sparse import make_sparse
     from __graft_entry__ import _synthetic_sparse_input
 
+    execution = os.environ.get("SGNN_BENCH_EXEC", "dense_flow")
+    dtype = os.environ.get("SGNN_BENCH_DTYPE", "bfloat16")
     cfg = SGNNConfig(
         input_dim=SCENE_DIM, batch_size=1, num_hierarchy_levels=4,
-        occupancy_fractions=FRACTIONS,
+        occupancy_fractions=FRACTIONS, execution=execution,
+        compute_dtype=dtype,
     )
     params, stats = M.genmodel_init(jax.random.PRNGKey(0), cfg)
     locs, feats, num = _synthetic_sparse_input(cfg)
     jl, jf, jn = jnp.asarray(locs), jnp.asarray(feats), jnp.asarray(num)
+
+    if cfg.execution == "dense_flow":
+        def fwd(params, stats, st):
+            out, _ = DF.genmodel_apply_dense(
+                params, stats, cfg, st,
+                num_refine_active=cfg.num_refine_levels, do_surf=True,
+                training=False,
+            )
+            return jnp.sum(
+                jnp.where(out.surf_mask, out.surf_sdf, 0.0)
+            ) + jnp.mean(out.coarse_out)
+    else:
+        def fwd(params, stats, st):
+            out, _ = M.genmodel_apply(
+                params, stats, cfg, st,
+                num_refine_active=cfg.num_refine_levels, do_surf=True,
+                training=False,
+            )
+            return jnp.sum(out.surf_sdf) + jnp.mean(out.coarse_out)
 
     @jax.jit
     def chain(params, stats, locs, feats, num_valid, k):
         def body(i, carry):
             f, acc = carry
             st = make_sparse(locs, f, num_valid, cfg.input_dim, 1)
-            out, _ = M.genmodel_apply(
-                params, stats, cfg, st,
-                num_refine_active=cfg.num_refine_levels, do_surf=True,
-                training=False,
-            )
-            s = jnp.sum(out.surf_sdf) + jnp.mean(out.coarse_out)
+            s = fwd(params, stats, st)
             # feed a perturbation forward so iteration i+1 depends on i
-            f2 = f * (1.0 + 1e-6 * jnp.tanh(s))
-            return (f2, acc + s)
+            return (f * (1.0 + 1e-6 * jnp.tanh(s)), acc + s)
 
-        _, acc = jax.lax.fori_loop(
-            0, k, body, (feats, jnp.float32(0.0))
-        )
+        _, acc = jax.lax.fori_loop(0, k, body, (feats, jnp.float32(0.0)))
         return acc
 
     def run(k):
@@ -97,7 +114,7 @@ def main():
     t_compile, _ = run(1)
     print(f"compile+first: {t_compile:.1f}s", file=sys.stderr)
     k1 = int(os.environ.get("SGNN_BENCH_K1", 2))
-    k2 = int(os.environ.get("SGNN_BENCH_K2", 10))
+    k2 = int(os.environ.get("SGNN_BENCH_K2", 22))
     t1, _ = run(k1)
     t2, _ = run(k2)
     print(f"t(k={k1})={t1:.3f}s t(k={k2})={t2:.3f}s", file=sys.stderr)
