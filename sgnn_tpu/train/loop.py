@@ -64,6 +64,9 @@ class TrainOptions:
     occupancy_fractions: tuple = (1.0, 0.5, 0.25, 0.125)
     execution: str = "sparse"  # "sparse" | "dense_flow"
     compute_dtype: str = "float32"
+    # 0 = LR steps per epoch (StepLR); >0 = halve every N iterations
+    # (train.py --scheduler_step_size)
+    scheduler_step_size: int = 0
     max_steps: int = 0  # 0 = unlimited (for smoke tests/benchmarks)
     log_every: int = 20
     ckpt_every: int = 2000
@@ -204,7 +207,10 @@ class Trainer:
             opts.num_iters_per_level, opts.weight_sdf_loss,
         )
         n_active, do_surf = S.active_levels(lw)
-        lr = S.step_lr(opts.lr, self.epoch, opts.decay_lr)
+        if opts.scheduler_step_size > 0:
+            lr = S.step_lr(opts.lr, self.iteration, opts.scheduler_step_size)
+        else:
+            lr = S.step_lr(opts.lr, self.epoch, opts.decay_lr)
         dev_batch = PM.device_batch(batch, self.num_devices)
         step = self._train_step(n_active, do_surf, with_metrics)
         self.state, metrics = step(

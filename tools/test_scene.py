@@ -49,6 +49,10 @@ def parse_args():
                         "larger buckets = fewer XLA compiles")
     p.add_argument("--occupancy_fractions", type=float, nargs="+",
                    default=[1.0, 0.4, 0.2, 0.1])
+    p.add_argument("--execution", default="dense_flow",
+                   choices=["sparse", "dense_flow"])
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args()
     assert not (args.no_pass_feats and args.no_pass_occ)
     assert args.num_hierarchy_levels > 1
@@ -102,6 +106,8 @@ def main():
         truncation=args.truncation,
         batch_size=1,
         occupancy_fractions=tuple(args.occupancy_fractions),
+        execution=args.execution,
+        compute_dtype=args.compute_dtype,
     )
     params, stats = load_params(args.model_path, cfg)
     print(f"loaded model: {args.model_path}")

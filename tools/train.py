@@ -48,11 +48,17 @@ def parse_args():
     p.add_argument("--weight_missing_geo", type=float, default=5.0)
     p.add_argument("--no_loss_masking", dest="use_loss_masking",
                    action="store_false")
+    p.add_argument("--scheduler_step_size", type=int, default=0)
     # TPU-specific
     p.add_argument("--num_devices", type=int, default=0, help="0 = all")
     p.add_argument("--input_capacity", type=int, default=0)
     p.add_argument("--max_steps", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--execution", default="dense_flow",
+                   choices=["sparse", "dense_flow"],
+                   help="dense_flow = masked dense grids (TPU fast path)")
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
     p.set_defaults(logweight_target_sdf=True, use_loss_masking=True)
     args = p.parse_args()
     assert not (args.no_pass_feats and args.no_pass_occ)
@@ -121,6 +127,9 @@ def main():
         num_devices=args.num_devices,
         input_capacity=args.input_capacity,
         max_steps=args.max_steps,
+        execution=args.execution,
+        compute_dtype=args.compute_dtype,
+        scheduler_step_size=args.scheduler_step_size,
     )
     trainer = Trainer(opts)
 
