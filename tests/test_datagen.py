@@ -208,3 +208,25 @@ def test_segmentation_parsers(tmp_path):
     assert list(v.vertices_for_segments([7])) == [2, 4]
     labels = s.vertex_labels(v)
     assert labels.tolist() == [0, 0, 1, 0, 1]
+
+
+def test_param_file_parsing(tmp_path):
+    from sgnn_tpu.datagen.params import parse_param_file
+
+    p = tmp_path / "params.txt"
+    p.write_text(
+        's_scanPath = "./data/scans";  // comment\n'
+        "\n"
+        "s_maxNumSens = 3;\n"
+        "s_voxelSize = 0.02f; //in m\n"
+        "s_filterDepthMap = true;\n"
+        "s_chanceDropFrames = 0.65f;\n"
+        "s_bUseRenderedDepth = false;\n"
+    )
+    d = parse_param_file(str(p))
+    assert d["s_scanPath"] == "./data/scans"
+    assert d["s_maxNumSens"] == 3
+    assert abs(d["s_voxelSize"] - 0.02) < 1e-9
+    assert d["s_filterDepthMap"] is True
+    assert d["s_bUseRenderedDepth"] is False
+    assert abs(d["s_chanceDropFrames"] - 0.65) < 1e-9

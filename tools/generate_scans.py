@@ -26,11 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def parse_args():
     # defaults follow zParametersScanMP.txt:16-44
     p = argparse.ArgumentParser()
-    p.add_argument("--scan_path", required=True)
-    p.add_argument("--scan_mesh_path", required=True)
-    p.add_argument("--scene_file_list", required=True)
+    p.add_argument("--param_file", default="",
+                   help="reference-style parameter file (key = value;) "
+                        "overlaid on the flags")
+    p.add_argument("--scan_path", default="")
+    p.add_argument("--scan_mesh_path", default="")
+    p.add_argument("--scene_file_list", default="")
     p.add_argument("--output_complete", default="")
-    p.add_argument("--output_incomplete", required=True)
+    p.add_argument("--output_incomplete", default="")
     p.add_argument("--incomplete_frame_path", default="")
     p.add_argument("--max_num_scenes", type=int, default=0)
     p.add_argument("--max_num_sens", type=int, default=3)
@@ -42,8 +45,19 @@ def parse_args():
     p.add_argument("--chance_drop_frames", type=float, default=0.65)
     p.add_argument("--no_filter_depth", action="store_true")
     p.add_argument("--no_known", action="store_true")
+    p.add_argument("--use_rendered_depth", action="store_true",
+                   help="render depth from the room mesh instead of raw "
+                        ".sens depth (zParametersScanMP s_bUseRenderedDepth)")
     p.add_argument("--seed", type=int, default=0)
-    return p.parse_args()
+    args = p.parse_args()
+    if args.param_file:
+        from sgnn_tpu.datagen.params import apply_param_file
+
+        apply_param_file(args, args.param_file)
+    for req in ("scan_path", "scan_mesh_path", "scene_file_list",
+                "output_incomplete"):
+        assert getattr(args, req), f"--{req} (or param file entry) required"
+    return args
 
 
 def main():
@@ -83,7 +97,7 @@ def main():
             print(f"[{i + 1}/{len(scans)}] (skip) {name}")
             continue
         try:
-            scene = Scene(info)
+            scene = Scene(info, use_rendered_depth=args.use_rendered_depth)
             complete = FU.select_frames_in_obb(scene.poses, scene.obb)
             if not complete:
                 print(f"[{i + 1}/{len(scans)}] (no frames) {name}")
@@ -127,7 +141,12 @@ def main():
                 out_complete=(out_cmp_sdf,
                               None if args.no_known else out_cmp_knw)
                 if out_cmp_sdf else None,
-                filter_depth=not args.no_filter_depth,
+                # rendered depth is clean: no bilateral filter
+                # (Fuser.cpp: bFilterDepth = !s_bUseRenderedDepth)
+                filter_depth=(
+                    not args.no_filter_depth
+                    and not args.use_rendered_depth
+                ),
             )
             scene.close()
         except Exception as e:  # per-room skip (Visualizer.cpp:129-140)
