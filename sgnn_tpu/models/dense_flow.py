@@ -50,6 +50,16 @@ from sgnn_tpu.ops.sparse import SparseTensor, sparse_to_dense
 # ------------------------------------------------------------------ helpers
 
 
+def _accum(dtype):
+    """Conv accumulation request. For bf16 inputs the f32
+    preferred_element_type breaks the conv TRANSPOSE rule under autodiff
+    (f32 cotangent x bf16 weight); TPU convs accumulate bf16 in f32
+    internally regardless, so request nothing there."""
+    if jnp.dtype(dtype) == jnp.bfloat16:
+        return {}
+    return {"preferred_element_type": jnp.float32}
+
+
 def _mask_bn(params, stats, grid, mask, *, training, axis_name, relu=True):
     """Masked batch norm over active sites of a dense grid."""
     B = grid.shape[0]
@@ -71,7 +81,7 @@ def _subm_conv(grid, mask, weight, filter_size=3):
     y = jax.lax.conv_general_dilated(
         grid, w, window_strides=(1, 1, 1), padding=[(pad, pad)] * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
+        **_accum(grid.dtype),
     ).astype(grid.dtype)
     return y * mask[..., None].astype(y.dtype)
 
@@ -82,7 +92,7 @@ def _strided_conv(grid, mask, weight):
     y = jax.lax.conv_general_dilated(
         grid, w, window_strides=(2, 2, 2), padding="VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
+        **_accum(grid.dtype),
     ).astype(grid.dtype)
     new_mask = D.max_pool3d(mask.astype(jnp.int8)) > 0
     return y * new_mask[..., None].astype(y.dtype), new_mask

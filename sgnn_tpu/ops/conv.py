@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from sgnn_tpu.ops import coords as C
+from sgnn_tpu.ops.dense import _accum as D_accum
 from sgnn_tpu.ops.sparse import (
     SparseTensor,
     gather_dense,
@@ -163,7 +164,7 @@ def submanifold_conv3d(
             window_strides=(1, 1, 1),
             padding=[(pad, pad)] * 3,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32,
+            **D_accum(dense.dtype),
         ).astype(dense.dtype)
         out = gather_dense(y, st.locs)
         out = jnp.where(st.valid()[:, None], out, 0)
@@ -208,7 +209,7 @@ def strided_conv3d_down(
             window_strides=(2, 2, 2),
             padding="VALID",
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32,
+            **D_accum(dense.dtype),
         ).astype(dense.dtype)
         out = gather_dense(y, out_locs)
     else:

@@ -20,6 +20,15 @@ import jax.numpy as jnp
 _DN = ("NDHWC", "DHWIO", "NDHWC")
 
 
+def _accum(dtype):
+    """For bf16 inputs, requesting f32 output breaks the conv transpose
+    rule under autodiff (f32 cotangent x bf16 weight); TPU convolutions
+    accumulate bf16 in f32 internally regardless."""
+    if jnp.dtype(dtype) == jnp.bfloat16:
+        return {}
+    return {"preferred_element_type": jnp.float32}
+
+
 def conv3d(
     x: jax.Array,
     weight: jax.Array,
@@ -36,7 +45,7 @@ def conv3d(
         window_strides=(stride,) * 3,
         padding=[(padding, padding)] * 3,
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
+        **_accum(x.dtype),
     ).astype(x.dtype)
     if bias is not None:
         y = y + bias.astype(y.dtype)
@@ -69,7 +78,7 @@ def conv_transpose3d(
         padding=[(pad, pad)] * 3,
         lhs_dilation=(stride,) * 3,
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
+        **_accum(x.dtype),
     ).astype(x.dtype)
     if bias is not None:
         y = y + bias.astype(y.dtype)
