@@ -142,6 +142,22 @@ def _unet(params, stats, grid, mask, *, training, axis_name):
     return jnp.concatenate([x, up], axis=-1), s
 
 
+def _unet_remat(params, stats, grid, mask, *, training, axis_name):
+    """U-Net with rematerialization under training: activations inside the
+    block are recomputed in the backward pass instead of stored — the
+    reference train config (batch 8 chunks) otherwise exceeds one chip's
+    HBM by ~0.5 GB with autodiff residuals."""
+    if not training:
+        return _unet(params, stats, grid, mask, training=False,
+                     axis_name=axis_name)
+
+    def f(params, stats, grid, mask):
+        return _unet(params, stats, grid, mask, training=True,
+                     axis_name=axis_name)
+
+    return jax.checkpoint(f)(params, stats, grid, mask)
+
+
 def _encoder_layer(params, stats, grid, mask, *, training, axis_name):
     s = {}
     x = _subm_conv(grid, mask, params["p1"])
@@ -283,8 +299,8 @@ def genmodel_apply_dense(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
             )
         s_h = {}
         z = _subm_conv(cur, cur_mask, p["p1"])
-        z, s_h["p2"] = _unet(p["p2"], st_h["p2"], z, cur_mask,
-                             training=training, axis_name=axis_name)
+        z, s_h["p2"] = _unet_remat(p["p2"], st_h["p2"], z, cur_mask,
+                                   training=training, axis_name=axis_name)
         z, s_h["p3"] = _mask_bn(p["p3"], st_h["p3"], z, cur_mask,
                                 training=training, axis_name=axis_name)
         # generative 2x upsample (model.py:192-207)
@@ -326,8 +342,8 @@ def genmodel_apply_dense(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
                 axis=-1,
             )
         z = _subm_conv(cur, cur_mask, p["p1"])
-        z, s_s["p2"] = _unet(p["p2"], st_s["p2"], z, cur_mask,
-                             training=training, axis_name=axis_name)
+        z, s_s["p2"] = _unet_remat(p["p2"], st_s["p2"], z, cur_mask,
+                                   training=training, axis_name=axis_name)
         z, s_s["p3"] = _mask_bn(p["p3"], st_s["p3"], z, cur_mask,
                                 training=training, axis_name=axis_name)
         surf = (
