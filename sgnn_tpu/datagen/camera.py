@@ -41,6 +41,33 @@ def bilateral_filter(depth: np.ndarray, sigma_d: float = 2.0,
     return out.astype(np.float32)
 
 
+def compute_edge_mask(depth: np.ndarray, depth_thresh: float,
+                      frac_thresh: float, radius: int) -> np.ndarray:
+    """Mark pixels near depth discontinuities (CameraUtil.h:67-103):
+    a pixel is an edge when the fraction of neighbors within radius whose
+    depth differs by more than depth_thresh (or is invalid) exceeds
+    frac_thresh."""
+    H, W = depth.shape
+    valid = np.isfinite(depth)
+    diff_cnt = np.zeros((H, W), np.int32)
+    total = np.zeros((H, W), np.int32)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dx == 0 and dy == 0:
+                continue
+            ys = slice(max(0, dy), min(H, H + dy))
+            yd = slice(max(0, -dy), min(H, H - dy))
+            xs = slice(max(0, dx), min(W, W + dx))
+            xd = slice(max(0, -dx), min(W, W - dx))
+            nd = depth[ys, xs]
+            nv = valid[ys, xs]
+            bad = ~nv | (np.abs(nd - depth[yd, xd]) > depth_thresh)
+            diff_cnt[yd, xd] += bad
+            total[yd, xd] += 1
+    frac = diff_cnt / np.maximum(total, 1)
+    return valid & (frac > frac_thresh)
+
+
 def depth_to_camera(intrinsic, ux, uy, depth):
     """Unproject pixel -> camera space (VoxelGrid.h depthToSkeleton)."""
     fx, fy = intrinsic[0, 0], intrinsic[1, 1]

@@ -214,6 +214,71 @@ class VoxelGrid:
         )
         return lo, hi
 
+    # ---------------------------------------------------------- inspection
+    def surface_voxels(self, weight_thresh=1, sdf_thresh=None):
+        """(locs_xyz, sdf) of confident near-surface voxels
+        (VoxelGrid.h getSurfaceVoxels)."""
+        if sdf_thresh is None:
+            sdf_thresh = self.truncation(0.0)
+        m = (self.weight >= weight_thresh) & (np.abs(self.sdf) < sdf_thresh)
+        x, y, z = np.nonzero(m)
+        return np.stack([x, y, z], -1), self.sdf[m]
+
+    def to_binary_grid_occupied(self, weight_thresh=1, sdf_thresh=None):
+        """(x,y,z) bool grid of occupied voxels (VoxelGrid.h
+        toBinaryGridOccupied)."""
+        if sdf_thresh is None:
+            sdf_thresh = self.voxel_size
+        return (self.weight >= weight_thresh) & (
+            np.abs(self.sdf) < sdf_thresh
+        )
+
+    def to_binary_grid_free(self, free_thresh=1):
+        """(x,y,z) bool grid of observed-free voxels (VoxelGrid.h
+        toBinaryGridFree)."""
+        return self.free_ctr >= free_thresh
+
+    def normalize_sdfs(self, factor=None):
+        """Scale SDFs into voxel units in place (VoxelGrid.h
+        normalizeSDFs); -inf voxels stay untouched."""
+        if factor is None:
+            factor = 1.0 / self.voxel_size
+        m = np.isfinite(self.sdf)
+        self.sdf[m] *= factor
+        self.voxel_size *= factor
+
+    def trilinear_sample(self, pos_world):
+        """Trilinearly interpolated (sdf, valid) at world positions
+        [..., 3]; invalid if any of the 8 surrounding voxels is unobserved
+        (VoxelGrid.h trilinearInterpolationSimpleFastFast)."""
+        pos = np.atleast_2d(np.asarray(pos_world, np.float64))
+        g = (self.world2grid[:3, :3] @ pos.T).T + self.world2grid[:3, 3]
+        g0 = np.floor(g - 0.5).astype(np.int64)
+        w = (g - 0.5) - g0
+        out = np.zeros(len(pos), np.float32)
+        ok = np.ones(len(pos), bool)
+        X, Y, Z = self.dims
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    c = g0 + np.array([dx, dy, dz])
+                    inb = (
+                        (c >= 0).all(-1)
+                        & (c[:, 0] < X) & (c[:, 1] < Y) & (c[:, 2] < Z)
+                    )
+                    cc = np.clip(c, 0, np.array([X - 1, Y - 1, Z - 1]))
+                    v = self.sdf[cc[:, 0], cc[:, 1], cc[:, 2]]
+                    wt = self.weight[cc[:, 0], cc[:, 1], cc[:, 2]]
+                    ok &= inb & (wt > 0) & np.isfinite(v)
+                    coef = (
+                        (w[:, 0] if dx else 1 - w[:, 0])
+                        * (w[:, 1] if dy else 1 - w[:, 1])
+                        * (w[:, 2] if dz else 1 - w[:, 2])
+                    )
+                    out += np.where(ok, coef * np.where(np.isfinite(v), v, 0),
+                                    0).astype(np.float32)
+        return out, ok
+
     # ------------------------------------------------------------- exports
     def known_grid(self) -> np.ndarray:
         """uint8 known-state grid (VoxelGrid.h:199-218), (x,y,z)-indexed."""

@@ -230,3 +230,36 @@ def test_param_file_parsing(tmp_path):
     assert d["s_filterDepthMap"] is True
     assert d["s_bUseRenderedDepth"] is False
     assert abs(d["s_chanceDropFrames"] - 0.65) < 1e-9
+
+
+def test_voxelgrid_inspection_api():
+    grid, intr, pose, depth = _wall_setup()
+    grid.integrate(intr, pose, depth)
+    locs, vals = grid.surface_voxels(weight_thresh=1)
+    assert len(locs) > 0
+    assert (np.abs(vals) < grid.truncation(0.0)).all()
+    occ = grid.to_binary_grid_occupied()
+    assert occ.any() and occ.shape == grid.dims
+    free = grid.to_binary_grid_free()
+    assert free.any()
+    # trilinear sample near the wall center: sdf ~ 0, valid
+    v, ok = grid.trilinear_sample(np.array([[0.0, 0.0, 2.0]]))
+    assert ok[0] and abs(v[0]) < grid.voxel_size * 2
+    # far behind: invalid
+    v, ok = grid.trilinear_sample(np.array([[0.0, 0.0, 2.9]]))
+    assert not ok[0]
+    # normalize to voxel units
+    s_before = grid.sdf[np.isfinite(grid.sdf)].copy()
+    vs = grid.voxel_size
+    grid.normalize_sdfs()
+    np.testing.assert_allclose(
+        grid.sdf[np.isfinite(grid.sdf)], s_before / vs, rtol=1e-6
+    )
+
+
+def test_edge_mask():
+    d = np.full((16, 16), 2.0, np.float32)
+    d[:, 8:] = 3.0  # depth discontinuity at column 8
+    m = CAM.compute_edge_mask(d, depth_thresh=0.5, frac_thresh=0.2, radius=2)
+    assert m[8, 8] or m[8, 7]  # edge detected near the jump
+    assert not m[8, 2] and not m[8, 14]  # flat regions clean
