@@ -108,6 +108,17 @@ def chunk_scene(
         target_vol.locs, target_vol.sdf * vs, dims, -np.inf
     )
     Z, Y, X = chunk_dims_zyx
+    # pad scenes smaller than a chunk so crops are always full-size
+    if any(d < c for d, c in zip(dims, chunk_dims_zyx)):
+        pdims = tuple(max(d, c) for d, c in zip(dims, chunk_dims_zyx))
+        def pad(a, fill):
+            out = np.full(pdims, fill, a.dtype)
+            out[: dims[0], : dims[1], : dims[2]] = a
+            return out
+        inp = pad(inp, -np.inf)
+        tgt = pad(tgt, -np.inf)
+        known = pad(np.asarray(known), np.uint8(255))
+        dims = pdims
     sz, sy, sx = stride_zyx
     for z0 in range(0, max(dims[0] - Z, 0) + 1, sz):
         for y0 in range(0, max(dims[1] - Y, 0) + 1, sy):

@@ -142,22 +142,6 @@ def _unet(params, stats, grid, mask, *, training, axis_name):
     return jnp.concatenate([x, up], axis=-1), s
 
 
-def _unet_remat(params, stats, grid, mask, *, training, axis_name):
-    """U-Net with rematerialization under training: activations inside the
-    block are recomputed in the backward pass instead of stored — the
-    reference train config (batch 8 chunks) otherwise exceeds one chip's
-    HBM by ~0.5 GB with autodiff residuals."""
-    if not training:
-        return _unet(params, stats, grid, mask, training=False,
-                     axis_name=axis_name)
-
-    def f(params, stats, grid, mask):
-        return _unet(params, stats, grid, mask, training=True,
-                     axis_name=axis_name)
-
-    return jax.checkpoint(f)(params, stats, grid, mask)
-
-
 def _encoder_layer(params, stats, grid, mask, *, training, axis_name):
     s = {}
     x = _subm_conv(grid, mask, params["p1"])
@@ -288,19 +272,14 @@ def genmodel_apply_dense(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
     ref_outs = []
     ref_masks = []
     new_ref_stats = [stats["refinement"][h] for h in range(L_ref)]
-    for h in range(num_refine_active):
-        p = params["refinement"][h]
-        st_h = stats["refinement"][h]
-        if cfg.use_skip_sparse:
-            sk_grid, sk_mask = skips[L_ref - h]
-            cur = jnp.concatenate(
-                [cur, sk_grid * cur_mask[..., None].astype(sk_grid.dtype)],
-                axis=-1,
-            )
+    def refine_level(p, st_h, cur, cur_mask):
+        """One generative level: sparse U-Net -> 2x upsample -> heads ->
+        prune (model.py:209-247). Checkpointed whole under training: its
+        full-resolution activations dominate autodiff residuals."""
         s_h = {}
         z = _subm_conv(cur, cur_mask, p["p1"])
-        z, s_h["p2"] = _unet_remat(p["p2"], st_h["p2"], z, cur_mask,
-                                   training=training, axis_name=axis_name)
+        z, s_h["p2"] = _unet(p["p2"], st_h["p2"], z, cur_mask,
+                             training=training, axis_name=axis_name)
         z, s_h["p3"] = _mask_bn(p["p3"], st_h["p3"], z, cur_mask,
                                 training=training, axis_name=axis_name)
         # generative 2x upsample (model.py:192-207)
@@ -316,17 +295,34 @@ def genmodel_apply_dense(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
             up @ p["linearsdf"]["weight"] + p["linearsdf"]["bias"]
         ).astype(jnp.float32)
         out_h = jnp.concatenate([occ, sdf], -1)
+        # prune (model.py:233-246)
+        new_mask = mask_unfilt & (jax.nn.sigmoid(occ[..., 0]) > 0.5)
+        if cfg.pass_feats and cfg.pass_occ:
+            nxt = jnp.concatenate([up, out_h.astype(dt)], -1)
+        elif cfg.pass_feats:
+            nxt = up
+        else:
+            nxt = out_h.astype(dt)
+        nxt = nxt * new_mask[..., None].astype(dt)
+        return nxt, new_mask, out_h, mask_unfilt, s_h
+
+    if training:
+        refine_level = jax.checkpoint(refine_level)
+
+    for h in range(num_refine_active):
+        p = params["refinement"][h]
+        st_h = stats["refinement"][h]
+        if cfg.use_skip_sparse:
+            sk_grid, sk_mask = skips[L_ref - h]
+            cur = jnp.concatenate(
+                [cur, sk_grid * cur_mask[..., None].astype(sk_grid.dtype)],
+                axis=-1,
+            )
+        cur, cur_mask, out_h, mask_unfilt, s_h = refine_level(
+            p, st_h, cur, cur_mask
+        )
         ref_outs.append(out_h)
         ref_masks.append(mask_unfilt)
-        # prune (model.py:233-246)
-        cur_mask = mask_unfilt & (jax.nn.sigmoid(occ[..., 0]) > 0.5)
-        if cfg.pass_feats and cfg.pass_occ:
-            cur = jnp.concatenate([up, out_h.astype(dt)], -1)
-        elif cfg.pass_feats:
-            cur = up
-        else:
-            cur = out_h.astype(dt)
-        cur = cur * cur_mask[..., None].astype(dt)
         new_ref_stats[h] = s_h
     s["refinement"] = new_ref_stats
 
@@ -334,21 +330,28 @@ def genmodel_apply_dense(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
     if do_surf and num_refine_active == L_ref:
         p = params["surfacepred"]
         st_s = stats["surfacepred"]
-        s_s = {}
         if cfg.use_skip_sparse:
             sk_grid, sk_mask = skips[0]
             cur = jnp.concatenate(
                 [cur, sk_grid * cur_mask[..., None].astype(sk_grid.dtype)],
                 axis=-1,
             )
-        z = _subm_conv(cur, cur_mask, p["p1"])
-        z, s_s["p2"] = _unet_remat(p["p2"], st_s["p2"], z, cur_mask,
-                                   training=training, axis_name=axis_name)
-        z, s_s["p3"] = _mask_bn(p["p3"], st_s["p3"], z, cur_mask,
-                                training=training, axis_name=axis_name)
-        surf = (
-            z @ p["linear"]["weight"] + p["linear"]["bias"]
-        ).astype(jnp.float32)[..., 0]
+
+        def surf_block(p, st_s, cur, cur_mask):
+            s_s = {}
+            z = _subm_conv(cur, cur_mask, p["p1"])
+            z, s_s["p2"] = _unet(p["p2"], st_s["p2"], z, cur_mask,
+                                 training=training, axis_name=axis_name)
+            z, s_s["p3"] = _mask_bn(p["p3"], st_s["p3"], z, cur_mask,
+                                    training=training, axis_name=axis_name)
+            surf = (
+                z @ p["linear"]["weight"] + p["linear"]["bias"]
+            ).astype(jnp.float32)[..., 0]
+            return surf, s_s
+
+        if training:
+            surf_block = jax.checkpoint(surf_block)
+        surf, s_s = surf_block(p, st_s, cur, cur_mask)
         surf_mask = cur_mask
         s["surfacepred"] = s_s
     else:
