@@ -204,15 +204,21 @@ def genmodel_apply_dense(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
         keys_mask.reshape(-1).at[C.oob_key(keys)].set(True, mode="drop")
     ).reshape(st.batch_size, Z, Y, X)
 
-    # ---- encoder sparse levels
+    # ---- encoder sparse levels (checkpointed under training: level-0
+    # residuals are full-resolution)
+    def enc_layer(p, st_l, x, m):
+        return _encoder_layer(p, st_l, x, m, training=training,
+                              axis_name=axis_name)
+
+    if training:
+        enc_layer = jax.checkpoint(enc_layer)
     enc_s = []
     skips = []  # (grid, mask) per ft2, then ft3
     x, m = grid, mask
     for lvl in range(len(cfg.nf_per_level)):
-        x, m, ft2, s_lvl = _encoder_layer(
+        x, m, ft2, s_lvl = enc_layer(
             params["encoder"]["process_sparse"][lvl],
             stats["encoder"]["process_sparse"][lvl], x, m,
-            training=training, axis_name=axis_name,
         )
         enc_s.append(s_lvl)
         skips.append(ft2)
