@@ -164,6 +164,9 @@ class VoxelGrid:
                 ).all(-1)
 
         free_inc = (valid & (z < d)).astype(xp.int32)
+        # keep the arithmetic finite in lanes masked out by `valid`
+        # (invalid depth pixels are -inf and would produce inf/nan noise)
+        d = xp.where(xp.isfinite(d), d, self.depth_min)
         sdf_new = d - z
         trunc = self.truncation(d)
         do_upd = valid & (sdf_new > -trunc)

@@ -158,8 +158,12 @@ def main():
             pred_occ_locs=None,
             truncation=args.truncation,
         )
-    print(f"\ndone; mean inference time "
-          f"{np.mean(times[1:]) if len(times) > 1 else float('nan'):.3f}s")
+    if len(times) > 1:
+        print(f"\ndone; mean inference time {np.mean(times[1:]):.3f}s "
+              f"(excl. first/compile)")
+    else:
+        print(f"\ndone; inference time {times[0]:.3f}s (incl. compile)"
+              if times else "\ndone")
 
 
 if __name__ == "__main__":
