@@ -288,10 +288,12 @@ def genmodel_apply_dense(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
                              training=training, axis_name=axis_name)
         z, s_h["p3"] = _mask_bn(p["p3"], st_h["p3"], z, cur_mask,
                                 training=training, axis_name=axis_name)
-        # generative 2x upsample (model.py:192-207)
-        up = _upsample2(z)
+        # generative 2x upsample fused with the n1 conv (model.py:192-207;
+        # ops/dense.py:upsampled_conv3d): z is already zero off cur_mask,
+        # so conv(nn_upsample(z)) == the fused transposed conv on z
         mask_unfilt = _upsample2_mask(cur_mask)
-        up = _subm_conv(up, mask_unfilt, p["n1"])
+        up = D.upsampled_conv3d(z, p["n1"])
+        up = up * mask_unfilt[..., None].astype(up.dtype)
         up, s_h["n2"] = _mask_bn(p["n2"], st_h["n2"], up, mask_unfilt,
                                  training=training, axis_name=axis_name)
         occ = (

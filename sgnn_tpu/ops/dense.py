@@ -85,6 +85,48 @@ def conv_transpose3d(
     return y
 
 
+import numpy as _np
+
+# Per-axis fold of [NN-upsample-2x -> 3-tap conv] into one 4-tap stride-2
+# transposed conv: with taps t in {-1,0,1} and folded offsets s in 0..3,
+# out[2p]   = W[-1] x[p-1] + (W[0]+W[1]) x[p]
+# out[2p+1] = (W[-1]+W[0]) x[p] + W[1] x[p+1]
+_UPFOLD_T = _np.array(
+    [[1, 0, 0],
+     [1, 1, 0],
+     [0, 1, 1],
+     [0, 0, 1]], _np.float32,
+)  # [s=4, t=3]
+
+
+def fold_upsample_conv_weights(weight: jax.Array) -> jax.Array:
+    """Fold a 27-tap submanifold-conv weight [27, Cin, Cout] into the
+    4x4x4 kernel of the equivalent stride-2 transposed conv applied to the
+    coarse grid (upsample-then-conv fusion). Returns [4,4,4,Cin,Cout]."""
+    w = weight.reshape(3, 3, 3, *weight.shape[1:])
+    t = jnp.asarray(_UPFOLD_T, weight.dtype)
+    return jnp.einsum("abcio,xa,yb,zc->xyzio", w, t, t, t)
+
+
+def upsampled_conv3d(x: jax.Array, weight27: jax.Array) -> jax.Array:
+    """conv3x3x3(nn_upsample_2x(x)) computed directly on the coarse grid.
+
+    Equivalent to jnp.repeat-upsampling x by 2 per axis and running the
+    3^3 conv with zero padding — but ~3.4x fewer MACs (8 vs 27 effective
+    taps per fine voxel) and no materialized upsampled activation.
+    x: [B, Z, Y, X, Cin] -> [B, 2Z, 2Y, 2X, Cout].
+    """
+    w = fold_upsample_conv_weights(weight27).astype(x.dtype)
+    return jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(1, 1, 1),
+        padding=[(2, 2)] * 3,
+        lhs_dilation=(2, 2, 2),
+        dimension_numbers=_DN,
+        **_accum(x.dtype),
+    ).astype(x.dtype)
+
+
 def max_pool3d(x: jax.Array, window: int = 2) -> jax.Array:
     """nn.MaxPool3d(kernel=window) on [B, Z, Y, X] or [B, Z, Y, X, C]."""
     if x.ndim == 4:
