@@ -71,3 +71,42 @@ def test_halo_exchange_boundaries(rng):
     # device 3's lower halo == device 2's top plane
     np.testing.assert_array_equal(out[0, 3, 0], x[0, 2 * 3 - 1])
     np.testing.assert_array_equal(out[0, 3, 3], x[0, 2 * 4])
+
+
+def test_bn_moments_sync_across_devices(rng):
+    """BN batch moments psum'd over the mesh == single-device moments on
+    the concatenated batch (the correctness condition for DP BatchNorm)."""
+    import jax.numpy as jnp
+
+    from sgnn_tpu.ops import bn as BN
+
+    mesh = _mesh8()
+    N, C = 64, 5
+    x = rng.randn(8 * N, C).astype(np.float32)
+    mask = rng.rand(8 * N) > 0.3
+    params, stats = BN.init_bn(C)
+
+    def f(xl, ml):
+        y, new_stats = BN.batch_norm(
+            params, stats, xl, ml, training=True, axis_name="data"
+        )
+        return y, new_stats
+
+    sharded = shard_map(
+        f, mesh=mesh, in_specs=(P("data"), P("data")),
+        out_specs=(P("data"), P()),
+    )
+    y_sh, stats_sh = jax.jit(sharded)(jnp.asarray(x), jnp.asarray(mask))
+    y_ref, stats_ref = BN.batch_norm(
+        params, stats, jnp.asarray(x), jnp.asarray(mask), training=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_sh), np.asarray(y_ref), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats_sh["mean"]), np.asarray(stats_ref["mean"]),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats_sh["var"]), np.asarray(stats_ref["var"]), rtol=1e-4
+    )
