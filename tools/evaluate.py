@@ -38,6 +38,10 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--occupancy_fractions", type=float, nargs="+",
                    default=[1.0, 0.4, 0.2, 0.1])
+    p.add_argument("--execution", default="dense_flow",
+                   choices=["sparse", "dense_flow"])
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args()
     if args.cpu:
         import jax
@@ -62,6 +66,8 @@ def main():
         truncation=args.truncation,
         batch_size=1,
         occupancy_fractions=tuple(args.occupancy_fractions),
+        execution=args.execution,
+        compute_dtype=args.compute_dtype,
     )
     params, stats = load_params(args.model_path, cfg)
     files, _ = F.get_train_files(args.input_data_path, args.test_file_list)
