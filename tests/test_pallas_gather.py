@@ -54,3 +54,34 @@ def test_pallas_conv3d_interpret(rng):
         )
     finally:
         PC.pl.pallas_call = orig
+
+
+def test_pallas_conv3d_folded_interpret(rng):
+    """Lane-folded conv kernel (runs on real TPU; see module docstring):
+    interpret-mode correctness across shapes incl. cout < cin."""
+    import jax.experimental.pallas as pl
+
+    import sgnn_tpu.ops.pallas.conv3d_folded as PC
+    from sgnn_tpu.ops import dense as D
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    PC.pl.pallas_call = patched
+    try:
+        for (B, Z, Y, X, C, Cout) in [(1, 8, 16, 64, 16, 16),
+                                      (2, 4, 8, 64, 16, 16),
+                                      (1, 6, 8, 128, 16, 1)]:
+            x = jnp.asarray(rng.randn(B, Z, Y, X, C).astype(np.float32))
+            w = jnp.asarray(rng.randn(27, C, Cout).astype(np.float32) * 0.2)
+            got = PC.conv3d_3x3x3_folded(x, w)
+            wt = jnp.transpose(w.reshape(3, 3, 3, C, Cout), (4, 3, 0, 1, 2))
+            ref = D.conv3d(x, wt, padding=1)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+            )
+    finally:
+        PC.pl.pallas_call = orig
