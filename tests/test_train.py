@@ -158,3 +158,41 @@ def test_shard_files():
         not (set(a) & set(b))
         for i, a in enumerate(shards) for b in shards[i + 1:]
     )
+
+
+@pytest.mark.slow
+def test_fade_in_gating_transitions(chunk_files, tmp_path):
+    """Drive the trainer across ALL level-gating variants (the fade-in
+    schedule's recompile points): level 0 only -> +refine1 -> +refine2 ->
+    +surface, in one run."""
+    import numpy as np
+
+    from sgnn_tpu import schedules as S
+
+    opts = TrainOptions(
+        input_dim=(16, 16, 16), encoder_dim=4, coarse_feat_dim=8,
+        refine_feat_dim=8, num_hierarchy_levels=3,
+        num_iters_per_level=2,  # gating changes every 2 steps
+        batch_size=2, max_epoch=1, num_devices=1,
+        occupancy_fractions=(1.0, 1.0, 1.0),
+        execution="dense_flow",
+        save=str(tmp_path / "logs"),
+    )
+    trainer = Trainer(opts)
+    trainer.epoch = 0
+    ds = SceneDataset(chunk_files, 3.0, 3, num_overfit=32)
+    loader = BatchLoader(ds, 2, trainer.cfg.input_cap)
+    seen = set()
+    losses = []
+    for i, batch in enumerate(loader):
+        lw = S.get_loss_weights(trainer.iteration, 3, 2, 1.0)
+        seen.add(S.active_levels(lw))
+        metrics, _ = trainer.run_step(batch)
+        losses.append(float(metrics["loss"]))
+        if trainer.iteration >= 9:
+            break
+    assert np.isfinite(losses).all()
+    # all four gating variants exercised
+    assert (0, False) in seen and (1, False) in seen
+    assert (2, False) in seen and (2, True) in seen
+    assert len(trainer._steps) >= 4  # one compiled step per variant
