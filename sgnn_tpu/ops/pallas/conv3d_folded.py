@@ -7,28 +7,21 @@ occupancy by construction:
   * the input is space-to-depth folded along x: [B, Z, Y, X/8, 128] where
     lane l = xi*C + c packs 8 voxels x C=16 channels — a pure reshape, so
     every DMA is 128-lane aligned (Mosaic requires slices tiled (8, 128)
-    in the minor two dims).
+    in the minor two dims, with 8-aligned offsets).
+  * the three x-tap shifts are precomputed AT XLA LEVEL as three folded
+    HBM arrays (lane roll by +-C with cross-block carries — cheap fused
+    elementwise work), so the kernel never slices unaligned minor dims:
+    per tap it takes leading-(z,y)-dim slices of an aligned tile, a
+    layout-trivial reshape, and one GEMM.
   * each of the 27 taps is one [R, 128] x [128, 128] GEMM with a
     BLOCK-DIAGONAL weight (8 copies of the [16,16] tap matrix). The zero
-    blocks cost nothing: a narrow N=16 GEMM would idle the same 112 lanes,
-    so this runs at the full-MXU rate.
-  * x-axis tap shifts are lane rolls by +-C with cross-block carries taken
-    from block-shifted DMA slabs (prev/base/next), avoiding both sublane
-    rolls and unaligned VMEM slices. bf16 rolls go through a bitcast int32
-    view (Mosaic's rotate is 32-bit only).
-  * z/y shifts are plain leading-dim slices of the halo'd slabs.
+    blocks cost nothing: a narrow N=16 GEMM would idle the same 112
+    lanes, so this runs at the full-MXU rate.
 
-Constraints: C == 16, X % 64 == 0 (so the folded block count is 8-aligned),
-C_out <= 16. The caller falls back to the XLA conv otherwise.
+Constraints: C == 16, X % 64 == 0 (folded block count 8-aligned),
+C_out <= 16. Callers fall back to the XLA conv otherwise.
 
-STATUS: lowers and runs CORRECTLY on v5e (bf16 rel err ~2.6e-3 vs the XLA
-conv). Measured 17 ms vs XLA's 10.5 ms on the 96x192x192 C=16 benchmark
-conv: the GEMMs are ~2.5 ms of that; Mosaic relayouts for the unaligned
-block-shifted views and the per-tap slice+reshape dominate. Kept
-experimental (not wired into dense_flow) as the foundation for round 2:
-the remaining step is to assemble the 27 shifted operands via strided
-copies into an aligned scratch (or double-buffered DMAs with 8-aligned
-offsets) instead of relayout-heavy vector slices.
+STATUS: see BENCH_NOTES.md for measured numbers vs the XLA conv.
 """
 
 from __future__ import annotations
@@ -44,65 +37,38 @@ FOLD = 8
 LANES = 128
 
 
-def _kernel(xf_ref, w_ref, out_ref, tile_ref, sems, *,
-            tz, ty, xq, cin, acc_dtype):
+def _kernel(xm_ref, x0_ref, xp_ref, w_ref, out_ref,
+            tm_ref, t0_ref, tp_ref, sems, *, tz, ty, xq, acc_dtype):
     b = pl.program_id(0)
     iz = pl.program_id(1)
     iy = pl.program_id(2)
-    # one aligned slab DMA (full minor-2 dims); prev/base/next are
-    # block-shifted in-VMEM views
-    dma = pltpu.make_async_copy(
-        xf_ref.at[b, pl.ds(iz * tz, tz + 2), pl.ds(iy * ty, ty + 2), :, :],
-        tile_ref,
-        sems,
-    )
-    dma.start()
-    dma.wait()
+    copies = []
+    for i, (src, dst) in enumerate(
+        ((xm_ref, tm_ref), (x0_ref, t0_ref), (xp_ref, tp_ref))
+    ):
+        dma = pltpu.make_async_copy(
+            src.at[b, pl.ds(iz * tz, tz + 2), pl.ds(iy * ty, ty + 2), :, :],
+            dst,
+            sems.at[i],
+        )
+        dma.start()
+        copies.append(dma)
+    for dma in copies:
+        dma.wait()
 
-    xbp = xq - 2
-    rows = tz * ty * xbp
-    full = tz + 2
-    fully = ty + 2
-    frows = full * fully * xbp
-    dtype = tile_ref.dtype
-
-    def lane_roll(a, shift):
-        shift = shift % LANES
-        if dtype == jnp.float32:
-            return pltpu.roll(a, shift, 1)
-        a32 = pltpu.bitcast(a, jnp.int32)
-        return pltpu.bitcast(pltpu.roll(a32, shift, 1), dtype)
-
-    # hoist the three x-shift variants to whole-tile precomputation (the
-    # unaligned block slices + rolls are the expensive relayouts; doing
-    # them once instead of per-(dz,dy) is ~9x less shift work)
-    lane_f = jax.lax.broadcasted_iota(jnp.int32, (frows, LANES), 1)
-    prev_t = tile_ref[:, :, 0:xbp].reshape(frows, LANES)
-    base_t = tile_ref[:, :, 1:1 + xbp].reshape(frows, LANES)
-    next_t = tile_ref[:, :, 2:2 + xbp].reshape(frows, LANES)
-    s_minus = jnp.where(
-        lane_f >= cin, lane_roll(base_t, cin), lane_roll(prev_t, cin)
-    ).reshape(full, fully, xbp, LANES)
-    s_plus = jnp.where(
-        lane_f < LANES - cin, lane_roll(base_t, -cin),
-        lane_roll(next_t, -cin),
-    ).reshape(full, fully, xbp, LANES)
-    base_4d = base_t.reshape(full, fully, xbp, LANES)
-    variants = {-1: s_minus, 0: base_4d, 1: s_plus}
-
+    rows = tz * ty * xq
     acc = jnp.zeros((rows, LANES), acc_dtype)
+    tiles = {-1: tm_ref, 0: t0_ref, 1: tp_ref}
     for dz in range(3):
         for dy in range(3):
             for dx in (-1, 0, 1):
-                lhs = variants[dx][dz:dz + tz, dy:dy + ty].reshape(
-                    rows, LANES
-                )
+                lhs = tiles[dx][dz:dz + tz, dy:dy + ty].reshape(rows, LANES)
                 # tap order must match coords.neighbor_offsets: x fastest
                 tap = dz * 9 + dy * 3 + (dx + 1)
                 acc = acc + jnp.dot(
                     lhs, w_ref[tap], preferred_element_type=acc_dtype
                 )
-    out_ref[0] = acc.reshape(tz, ty, xbp, LANES).astype(out_ref.dtype)
+    out_ref[0] = acc.reshape(tz, ty, xq, LANES).astype(out_ref.dtype)
 
 
 def _block_diag_weights(weight27: jax.Array, dtype) -> jax.Array:
@@ -120,6 +86,27 @@ def _round_up(v, m):
     return ((v + m - 1) // m) * m
 
 
+def _x_shift_variants(xf: jax.Array, cin: int):
+    """xf [B, Zp, Yp, xq, 128] -> (minus, base, plus) where plus[..., b, l]
+    holds the value one ORIGINAL voxel to the right (lane +cin with a
+    carry from block b+1), and minus one to the left. Pure XLA elementwise
+    + pad/slice work, fused cheaply."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, LANES), 4)
+    nxt = jnp.pad(xf[:, :, :, 1:], ((0, 0),) * 3 + ((0, 1), (0, 0)))
+    prv = jnp.pad(xf[:, :, :, :-1], ((0, 0),) * 3 + ((1, 0), (0, 0)))
+    plus = jnp.where(
+        lane < LANES - cin,
+        jnp.roll(xf, -cin, axis=4),
+        jnp.roll(nxt, -cin, axis=4),
+    )
+    minus = jnp.where(
+        lane >= cin,
+        jnp.roll(xf, cin, axis=4),
+        jnp.roll(prv, cin, axis=4),
+    )
+    return minus, xf, plus
+
+
 def conv3d_3x3x3_folded(x: jax.Array, weight27: jax.Array) -> jax.Array:
     """conv3x3x3(x, w) with zero padding via the lane-folded kernel.
 
@@ -134,33 +121,31 @@ def conv3d_3x3x3_folded(x: jax.Array, weight27: jax.Array) -> jax.Array:
     tz = max(t for t in (4, 3, 2, 1) if Z % t == 0)
     ty = max(t for t in (8, 6, 4, 2, 1) if Y % t == 0)
     xb = X // FOLD
-    xq = _round_up(xb + 4, 8)  # stored slab width in blocks (8-aligned DMA)
-    xbp = xq - 2               # rows spanned by the base view
-    # fold + pad: z/y by 1; x-blocks: 2 left, rest right (zeros)
+    xq = _round_up(xb, 8)
     xf = x.reshape(B, Z, Y, xb, LANES)
-    xf = jnp.pad(xf, ((0, 0), (1, 1), (1, 1), (2, xq - 2 - xb), (0, 0)))
+    xf = jnp.pad(xf, ((0, 0), (1, 1), (1, 1), (0, xq - xb), (0, 0)))
+    xm, x0, xp = _x_shift_variants(xf, C)
     w = _block_diag_weights(weight27, x.dtype)
     grid = (B, Z // tz, Y // ty)
+    tile = pltpu.VMEM((tz + 2, ty + 2, xq, LANES), x.dtype)
     out = pl.pallas_call(
         functools.partial(
-            _kernel, tz=tz, ty=ty, xq=xq, cin=C, acc_dtype=jnp.float32
+            _kernel, tz=tz, ty=ty, xq=xq, acc_dtype=jnp.float32
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, tz, ty, xbp, LANES),
+            (1, tz, ty, xq, LANES),
             lambda b, i, j: (b, i, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Z, Y, xbp, LANES), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((tz + 2, ty + 2, xq, LANES), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )(xf, w)
-    # base view covers xf blocks [1, 1+xbp): real block j sits at index j+1
-    y = out[:, :, :, 1:1 + xb, :].reshape(B, Z, Y, X, C)
+        out_shape=jax.ShapeDtypeStruct((B, Z, Y, xq, LANES), x.dtype),
+        scratch_shapes=[tile, tile, tile, pltpu.SemaphoreType.DMA((3,))],
+    )(xm, x0, xp, w)
+    y = out[:, :, :, :xb, :].reshape(B, Z, Y, X, C)
     return y[..., :cout]
