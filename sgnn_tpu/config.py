@@ -44,6 +44,9 @@ class SGNNConfig:
     # "dense_flow" (masked dense grids end-to-end, models/dense_flow.py —
     # the fast path on TPU: no gathers/scatters/sorts in the train graph)
     execution: str = "sparse"
+    # dense_flow inference only: route eligible 3^3 convs through the
+    # lane-folded Pallas kernel (ops/pallas/conv3d_folded.py)
+    use_pallas_conv: bool = False
 
     def __post_init__(self):
         assert self.num_hierarchy_levels > 1, "must be > 1 (train.py:61)"

@@ -72,8 +72,21 @@ def _mask_bn(params, stats, grid, mask, *, training, axis_name, relu=True):
     return y.reshape(grid.shape), new_stats
 
 
+# set by genmodel_apply_dense from cfg.use_pallas_conv (trace-time static);
+# eval-only: the Pallas kernel has no custom VJP yet
+_USE_PALLAS_CONV = False
+
+
 def _subm_conv(grid, mask, weight, filter_size=3):
     """Submanifold conv: dense conv then mask. weight [K, Cin, Cout]."""
+    if _USE_PALLAS_CONV and filter_size == 3:
+        from sgnn_tpu.ops.pallas.conv3d_folded import conv3d_3x3x3_folded
+
+        try:
+            y = conv3d_3x3x3_folded(grid, weight.astype(grid.dtype))
+            return y * mask[..., None].astype(y.dtype)
+        except ValueError:
+            pass  # unsupported shape: fall through to the XLA conv
     w = weight.reshape(
         filter_size, filter_size, filter_size, *weight.shape[1:]
     ).astype(grid.dtype)
@@ -192,6 +205,10 @@ def genmodel_apply_dense(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
     """Forward pass, dense-flow execution. Mirrors models/sgnn.py
     genmodel_apply (and /root/reference/torch/model.py:371-416)."""
     s: dict[str, Any] = {}
+    global _USE_PALLAS_CONV
+    _USE_PALLAS_CONV = (
+        getattr(cfg, "use_pallas_conv", False) and not training
+    )
     dt = jnp.dtype(cfg.compute_dtype)
     grid = sparse_to_dense(st).astype(dt)  # [B, Z, Y, X, input_nf]
     Z, Y, X = st.spatial_size

@@ -184,3 +184,64 @@ def test_dense_flow_inference(rng):
     if len(r["surf_locs"]):
         assert (r["surf_locs"][:, 2] < X - 4).all()  # unpadded
     assert len(r["levels"]) == cfg.num_hierarchy_levels
+
+
+def test_dense_flow_pallas_conv_equivalence(rng):
+    """dense_flow with the Pallas conv routed in (interpret mode) matches
+    the XLA conv path. Needs X % 64 == 0, so uses a (32, 32, 64) volume."""
+    import dataclasses as _dc
+
+    import jax.experimental.pallas as pl
+
+    import sgnn_tpu.ops.pallas.conv3d_folded as PC
+    from sgnn_tpu.ops.sparse import make_sparse
+
+    cfg = _dc.replace(
+        CFG, input_dim=(32, 32, 64), nf_coarse=16, nf=16, batch_size=1
+    )
+    params, stats = M.genmodel_init(jax.random.PRNGKey(2), cfg)
+    Z, Y, X = cfg.input_dim
+    cap = cfg.input_cap
+    n = 80
+    flat = np.random.RandomState(5).choice(Z * Y * X, n, replace=False)
+    z, rem = flat // (Y * X), flat % (Y * X)
+    y, x = rem // X, rem % X
+    locs = np.full((cap, 4), -1, np.int32)
+    locs[:n] = np.stack([z, y, x, np.zeros_like(z)], -1)
+    feats = np.zeros((cap, 1), np.float32)
+    feats[:n, 0] = np.random.RandomState(6).randn(n)
+    st = make_sparse(locs, feats, n, cfg.input_dim, 1)
+
+    ref, _ = DF.genmodel_apply_dense(
+        params, stats, cfg, st,
+        num_refine_active=cfg.num_refine_levels, do_surf=True, training=False,
+    )
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    PC.pl.pallas_call = patched
+    try:
+        cfg_p = _dc.replace(cfg, use_pallas_conv=True)
+        got, _ = DF.genmodel_apply_dense(
+            params, stats, cfg_p, st,
+            num_refine_active=cfg_p.num_refine_levels, do_surf=True,
+            training=False,
+        )
+    finally:
+        PC.pl.pallas_call = orig
+        DF._USE_PALLAS_CONV = False
+    np.testing.assert_allclose(
+        np.asarray(ref.coarse_out), np.asarray(got.coarse_out),
+        rtol=1e-3, atol=1e-3,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.surf_mask), np.asarray(got.surf_mask)
+    )
+    m = np.asarray(ref.surf_mask)
+    np.testing.assert_allclose(
+        np.asarray(ref.surf_sdf)[m], np.asarray(got.surf_sdf)[m],
+        rtol=1e-3, atol=1e-3,
+    )
