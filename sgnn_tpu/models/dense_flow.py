@@ -73,13 +73,20 @@ def _mask_bn(params, stats, grid, mask, *, training, axis_name, relu=True):
 
 
 # set by genmodel_apply_dense from cfg.use_pallas_conv (trace-time static);
-# eval-only: the Pallas kernel has no custom VJP yet
+# eval-only: the Pallas kernel has no custom VJP yet. Routed only above a
+# voxel-count threshold: at smaller resolutions the kernel's x-variant
+# precomputation and lost XLA fusions outweigh its GEMM win (BENCH_NOTES).
 _USE_PALLAS_CONV = False
+_PALLAS_CONV_MIN_VOXELS = 2_000_000
 
 
 def _subm_conv(grid, mask, weight, filter_size=3):
     """Submanifold conv: dense conv then mask. weight [K, Cin, Cout]."""
-    if _USE_PALLAS_CONV and filter_size == 3:
+    nvox = grid.shape[0] * grid.shape[1] * grid.shape[2] * grid.shape[3]
+    if (
+        _USE_PALLAS_CONV and filter_size == 3
+        and nvox >= _PALLAS_CONV_MIN_VOXELS
+    ):
         from sgnn_tpu.ops.pallas.conv3d_folded import conv3d_3x3x3_folded
 
         try:
