@@ -110,13 +110,25 @@ def main():
         v = float(chain(params, stats, jl, jf, jn, jnp.int32(k)))
         return time.time() - t0, v
 
+    def run_retrying(k, attempts=3):
+        # the remote TPU worker occasionally crashes and recovers within
+        # ~1-2 min; retry instead of failing the whole benchmark
+        for a in range(attempts):
+            try:
+                return run(k)
+            except Exception as e:  # jax.errors.JaxRuntimeError etc.
+                if a == attempts - 1:
+                    raise
+                print(f"retrying after device error: {e}", file=sys.stderr)
+                time.sleep(90)
+
     print("compiling + warmup...", file=sys.stderr)
-    t_compile, _ = run(1)
+    t_compile, _ = run_retrying(1)
     print(f"compile+first: {t_compile:.1f}s", file=sys.stderr)
     k1 = int(os.environ.get("SGNN_BENCH_K1", 2))
     k2 = int(os.environ.get("SGNN_BENCH_K2", 22))
-    t1, _ = run(k1)
-    t2, _ = run(k2)
+    t1, _ = run_retrying(k1)
+    t2, _ = run_retrying(k2)
     print(f"t(k={k1})={t1:.3f}s t(k={k2})={t2:.3f}s", file=sys.stderr)
     per_scene = (t2 - t1) / (k2 - k1)
     if per_scene <= 0:

@@ -134,3 +134,24 @@ def test_ply_mesh_loader_and_rendered_scene(tmp_path, rng):
     # wall at world y=2, camera at y=0 -> depth 2 in the center
     np.testing.assert_allclose(depth[H // 2, W // 2], 2.0, rtol=1e-3)
     scene.close()
+
+
+def test_ply_ascii_loader(tmp_path):
+    from sgnn_tpu.datagen.scene import load_ply_mesh, load_ply_vertices
+
+    ply = tmp_path / "m.ply"
+    ply.write_text(
+        "ply\nformat ascii 1.0\n"
+        "element vertex 3\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\n"
+        "element face 1\n"
+        "property list uchar int vertex_indices\n"
+        "end_header\n"
+        "0 0 0 255\n1 0 0 10\n0 1 0 20\n"
+        "3 0 1 2\n"
+    )
+    v = load_ply_vertices(str(ply))
+    np.testing.assert_allclose(v, [[0, 0, 0], [1, 0, 0], [0, 1, 0]])
+    v2, f = load_ply_mesh(str(ply))
+    np.testing.assert_array_equal(f, [[0, 1, 2]])
