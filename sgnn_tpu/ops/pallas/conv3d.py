@@ -23,8 +23,6 @@ from __future__ import annotations
 
 import functools
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -90,8 +88,6 @@ def conv3d_3x3x3_pallas(x: jax.Array, weight27: jax.Array) -> jax.Array:
         raise ValueError("tile rows must be a sublane multiple")
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 7), (0, 0)))
     # padded tap-group weights [4, 8*Cin, Cout]
-    w = np.zeros((4, 8 * C, cout), np.float32)
-    w_np = None
     w_groups = []
     for g, taps in enumerate(_GROUPS):
         rows = []

@@ -164,14 +164,50 @@ class Trainer:
         locs[:k] = batch["input_locs"][:n][mask][:k]
         feats[:k] = batch["input_sdf"][:n][mask][:k]
         st = make_sparse(locs, feats, k, cfg.input_dim, B)
+        dims = cfg.input_dim
+        names = batch.get("names", [str(i) for i in range(B)])
+        if cfg.execution == "dense_flow":
+            from sgnn_tpu.models import dense_flow as DFM
+
+            out, _ = DFM.genmodel_apply_dense(
+                self.state.params, self.state.stats, cfg, st,
+                num_refine_active=cfg.num_refine_levels, do_surf=True,
+                training=False,
+            )
+            out = jax.device_get(out)
+            for b in range(B):
+                name = names[b] if b < len(names) else str(b)
+                sel = locs[:k, 3] == b
+                pred_occs = []
+                for grid, mask in zip(out.refine_outs,
+                                      out.refine_masks_unfilt):
+                    m = np.asarray(mask[b]) & (
+                        1 / (1 + np.exp(
+                            -np.asarray(grid[b][..., 0], np.float64)
+                        )) > 0.5
+                    )
+                    pred_occs.append(
+                        np.stack(np.nonzero(m), -1).astype(np.int32)
+                    )
+                sm = np.asarray(out.surf_mask[b])
+                sl = np.stack(np.nonzero(sm), -1).astype(np.int32)
+                sv = np.asarray(out.surf_sdf[b])[sm]
+                save_predictions(
+                    out_dir, name, locs[:k][sel][:, :3],
+                    feats[:k][sel][:, 0], dims,
+                    target_for_sdf=batch["sdf"][b] if "sdf" in batch else None,
+                    target_for_occs=None,
+                    pred_surf=(sl, sv) if len(sl) else None,
+                    pred_occ_locs=pred_occs if pred_occs else None,
+                    truncation=self.opts.truncation,
+                )
+            return
         out, _ = MM.genmodel_apply(
             self.state.params, self.state.stats, cfg, st,
             num_refine_active=cfg.num_refine_levels, do_surf=True,
             training=False,
         )
         out = jax.device_get(out)
-        dims = cfg.input_dim
-        names = batch.get("names", [str(i) for i in range(B)])
         sn = int(out.surf_num_valid)
         slocs = np.asarray(out.surf_locs[:sn])
         ssdf = np.asarray(out.surf_sdf[:sn, 0])

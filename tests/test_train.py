@@ -196,3 +196,23 @@ def test_fade_in_gating_transitions(chunk_files, tmp_path):
     assert (0, False) in seen and (1, False) in seen
     assert (2, False) in seen and (2, True) in seen
     assert len(trainer._steps) >= 4  # one compiled step per variant
+
+
+def test_visualize_batch_dense_flow(chunk_files, tmp_path):
+    """Per-epoch prediction dump in dense_flow execution writes meshes."""
+    opts = TrainOptions(
+        input_dim=(16, 16, 16), encoder_dim=4, coarse_feat_dim=8,
+        refine_feat_dim=8, num_hierarchy_levels=3,
+        num_iters_per_level=1000, batch_size=2, max_epoch=1, num_devices=1,
+        occupancy_fractions=(1.0, 1.0, 1.0), execution="dense_flow",
+        save=str(tmp_path / "logs"),
+    )
+    trainer = Trainer(opts)
+    trainer.epoch = 0
+    ds = SceneDataset(chunk_files, 3.0, 3)
+    loader = BatchLoader(ds, 2, trainer.cfg.input_cap)
+    batch = next(iter(loader))
+    out_dir = str(tmp_path / "vis")
+    trainer.visualize_batch(batch, out_dir)
+    files = os.listdir(out_dir)
+    assert any("input-mesh" in f for f in files), files
