@@ -403,6 +403,31 @@ def fuse_scene(
     return grid
 
 
+def verify_roundtrip(grid: VoxelGrid, sdf_path: str, eps: float = 1e-5,
+                     trunc_factor: float = 6.0) -> bool:
+    """Reload a saved .sdf and compare voxel-by-voxel against the grid —
+    the reference's s_bDebugVis validation (Fuser.cpp:95-130)."""
+    from sgnn_tpu.data import formats as F
+
+    vol = F.load_scene(sdf_path)
+    dense = F.sparse_to_dense(vol.locs, vol.sdf, vol.dims, -np.inf)
+    m = np.abs(grid.sdf) <= trunc_factor * grid.voxel_size
+    x, y, z = np.nonzero(m)
+    got = dense[z, y, x] * grid.voxel_size  # back to world units
+    return bool(np.allclose(got, grid.sdf[m], atol=eps, rtol=1e-4))
+
+
+def export_debug_mesh(grid: VoxelGrid, path: str):
+    """Debug isosurface of the fused grid (the reference's doMC debug
+    meshes, MarchingCubes.h:14-78) through our marching cubes."""
+    from sgnn_tpu.meshing.marching_cubes import marching_cubes
+
+    sdf_vox = np.where(
+        np.isfinite(grid.sdf), grid.sdf / grid.voxel_size, -np.inf
+    ).transpose(2, 1, 0)  # (x,y,z)-indexed -> [Z, Y, X]
+    marching_cubes(sdf_vox, None, 0.0, 3.0 - 0.1, 10.0, path)
+
+
 def select_frames_in_obb(poses, obb: OBB, min_extra=30):
     """Scene::computeTrajFramesInScene (Scene.h:50-79): frames whose camera
     center lies in the room OBB, plus the 30 closest remaining cameras."""

@@ -263,3 +263,16 @@ def test_edge_mask():
     m = CAM.compute_edge_mask(d, depth_thresh=0.5, frac_thresh=0.2, radius=2)
     assert m[8, 8] or m[8, 7]  # edge detected near the jump
     assert not m[8, 2] and not m[8, 14]  # flat regions clean
+
+
+def test_verify_roundtrip_and_debug_mesh(tmp_path):
+    grid, intr, pose, depth = _wall_setup()
+    grid.integrate(intr, pose, depth)
+    p = str(tmp_path / "g.sdf")
+    grid.save_sdf(p)
+    assert FU.verify_roundtrip(grid, p)
+    mesh = str(tmp_path / "g_debug-mesh.ply")
+    FU.export_debug_mesh(grid, mesh)
+    import os
+
+    assert os.path.getsize(mesh) > 100

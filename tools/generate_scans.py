@@ -48,6 +48,9 @@ def parse_args():
     p.add_argument("--use_rendered_depth", action="store_true",
                    help="render depth from the room mesh instead of raw "
                         ".sens depth (zParametersScanMP s_bUseRenderedDepth)")
+    p.add_argument("--debug_vis", action="store_true",
+                   help="verify save round-trips and export debug meshes "
+                        "(the reference's s_bDebugVis)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
     if args.param_file:
@@ -148,6 +151,14 @@ def main():
                     and not args.use_rendered_depth
                 ),
             )
+            if args.debug_vis:
+                last_sdf = out_cmp_sdf or out_inc_sdf
+                ok = FU.verify_roundtrip(grid, last_sdf)
+                FU.export_debug_mesh(
+                    grid, last_sdf.replace(".sdf", "_debug-mesh.ply")
+                )
+                print(f"  [debug_vis] roundtrip "
+                      f"{'OK' if ok else 'MISMATCH'}")
             scene.close()
         except Exception as e:  # per-room skip (Visualizer.cpp:129-140)
             print(f"exception at scene {name}: {e}")
