@@ -26,6 +26,8 @@ import numpy as np  # noqa: E402
 def parse_args():
     # mirrors /root/reference/torch/test_scene.py:20-46
     p = argparse.ArgumentParser()
+    p.add_argument("--gpu", type=int, default=0,
+                   help="accepted for reference-CLI compatibility (no-op)")
     p.add_argument("--input_data_path", required=True)
     p.add_argument("--target_data_path", required=True)
     p.add_argument("--test_file_list", required=True)

@@ -19,6 +19,11 @@ import numpy as np  # noqa: E402
 def parse_args():
     # mirrors /root/reference/torch/train.py:21-58
     p = argparse.ArgumentParser()
+    p.add_argument("--gpu", type=int, default=0,
+                   help="accepted for reference-CLI compatibility (no-op: "
+                        "device selection is JAX's)")
+    p.add_argument("--vis_dfs", type=int, default=0,
+                   help="accepted for reference-CLI compatibility")
     p.add_argument("--data_path", required=True)
     p.add_argument("--train_file_list", required=True)
     p.add_argument("--val_file_list", default="")
