@@ -107,7 +107,7 @@ def conv3d_3x3x3_pallas(x: jax.Array, weight27: jax.Array) -> jax.Array:
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xp stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # xp stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # packed weights
         ],
         out_specs=pl.BlockSpec(
