@@ -65,10 +65,14 @@ def main():
 
     execution = os.environ.get("SGNN_BENCH_EXEC", "dense_flow")
     dtype = os.environ.get("SGNN_BENCH_DTYPE", "bfloat16")
+    # the lane-folded Pallas conv needs the Mosaic compiler (TPU only)
+    use_pallas = jax.default_backend() == "tpu" and not os.environ.get(
+        "SGNN_BENCH_NO_PALLAS"
+    )
     cfg = SGNNConfig(
         input_dim=SCENE_DIM, batch_size=1, num_hierarchy_levels=4,
         occupancy_fractions=FRACTIONS, execution=execution,
-        compute_dtype=dtype,
+        compute_dtype=dtype, use_pallas_conv=use_pallas,
     )
     params, stats = M.genmodel_init(jax.random.PRNGKey(0), cfg)
     locs, feats, num = _synthetic_sparse_input(cfg)

@@ -47,6 +47,10 @@ class SGNNConfig:
     # dense_flow inference only: route eligible 3^3 convs through the
     # lane-folded Pallas kernel (ops/pallas/conv3d_folded.py)
     use_pallas_conv: bool = False
+    # route only convs on volumes with at least this many voxels: below it
+    # the kernel's fixed costs (fold reshape/pad at the XLA boundary, DMA
+    # setup) outweigh its GEMM win (measured: tools/bench_kernel.py)
+    pallas_min_voxels: int = 1_000_000
 
     def __post_init__(self):
         assert self.num_hierarchy_levels > 1, "must be > 1 (train.py:61)"

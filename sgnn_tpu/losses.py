@@ -71,8 +71,16 @@ def compute_targets(
     if use_loss_masking:
         occ = jnp.where(known >= UNK_THRESH, UNK_ID, occ)
     target_for_occs = [None] * L
-    target_for_hier = [None] * L
     target_for_occs[-1] = occ
+    target_for_hier = [None] * L
+    # DELIBERATE DEVIATION from /root/reference/torch/loss.py:20: the
+    # reference keeps the RAW target (target.clone(), -inf at missing
+    # voxels) as the finest target_for_hier, so its L1 can be inf when a
+    # predicted voxel lands on a missing-target site that loss masking
+    # doesn't exclude. We use the clamped SDF (-inf -> -truncation),
+    # keeping the loss finite everywhere; at observed voxels the two are
+    # identical (|sdf| <= truncation there). Pinned by
+    # tests/test_losses.py::test_finest_hier_target_clamped_at_missing.
     target_for_hier[-1] = target_for_sdf
     for h in range(L - 2, -1, -1):
         target_for_occs[h] = D.max_pool3d(target_for_occs[h + 1])

@@ -18,18 +18,28 @@ masking — the formulation a TPU actually wants:
     with NO capacity limits — exactly the reference's data-dependent
     sparsity, as a static-shape program)
   * batch norm             = moments over masked sites (scn BN semantics)
-  * concat_skip            = channel concat (skip grids are already zero
-    off their active set; model.py:338-355)
+  * concat_skip            = channel GROUPS (see below; model.py:338-355)
 
-Everything is convs + elementwise ops: XLA fuses the masks into the conv
-epilogues, the MXU runs at full tilt, and there are no gathers, scatters,
-or sorts anywhere in the training graph. Sparse coordinate lists appear
-only at the input (one scatter) and, at inference, for extracting surface
-voxels (one compaction).
+Channel concatenation is VIRTUAL: activations flow as a list of
+channels-last grids ("groups") sharing one mask, and every consumer splits
+its parameters per group instead of materializing the concatenated tensor:
+
+    conv(concat(gs), W)   == sum_i conv(g_i, W[:, off_i:off_i+C_i])
+    BN(concat(gs))        == [BN_i(g_i)] with per-group param/stat slices
+    concat(gs) @ W + b    == sum_i g_i @ W[off_i:off_i+C_i] + b
+
+Round-1 profiling showed the materialized concats at the skip joins cost
+~31% of scene time in pure layout copies (BENCH_NOTES.md); the grouped
+formulation removes them — convs are the only merge points, and XLA fuses
+the partial-sum adds into the conv epilogues. Everything is convs +
+elementwise ops: no gathers, scatters, or sorts anywhere in the training
+graph. Sparse coordinate lists appear only at the input (one scatter) and,
+at inference, for extracting surface voxels (one compaction).
 
 Parameters/stats are THE SAME pytree as models/sgnn.py — checkpoints and
-the sgnn.pth converter work unchanged — and tests cross-check both
-executions produce identical predictions on the shared active sets.
+the sgnn.pth converter work unchanged (group splits slice the full-width
+parameters at trace time) — and tests cross-check both executions produce
+identical predictions on the shared active sets.
 """
 
 from __future__ import annotations
@@ -47,75 +57,139 @@ from sgnn_tpu.ops import dense as D
 from sgnn_tpu.ops.sparse import SparseTensor, sparse_to_dense
 
 
-# ------------------------------------------------------------------ helpers
+# ----------------------------------------------------------- grouped helpers
+#
+# A "groups" value is a list of [B, Z, Y, X, C_i] arrays sharing one mask:
+# the virtual concatenation along channels. Single-array activations are
+# passed as one-element lists.
 
 
-def _accum(dtype):
-    """Conv accumulation request. For bf16 inputs the f32
-    preferred_element_type breaks the conv TRANSPOSE rule under autodiff
-    (f32 cotangent x bf16 weight); TPU convs accumulate bf16 in f32
-    internally regardless, so request nothing there."""
-    if jnp.dtype(dtype) == jnp.bfloat16:
-        return {}
-    return {"preferred_element_type": jnp.float32}
+def _gwidth(groups: list) -> int:
+    return sum(g.shape[-1] for g in groups)
 
 
-def _mask_bn(params, stats, grid, mask, *, training, axis_name, relu=True):
-    """Masked batch norm over active sites of a dense grid."""
-    B = grid.shape[0]
-    C = grid.shape[-1]
-    y, new_stats = BN.batch_norm(
-        params, stats, grid.reshape(-1, C), mask.reshape(-1),
-        training=training, relu=relu, axis_name=axis_name,
-        eps=BN.SPARSE_BN_EPS,
-    )
-    return y.reshape(grid.shape), new_stats
+def _pallas_ok(grid, weight, use_pallas, filter_size):
+    # use_pallas is 0 (off) or a minimum voxel count: below it the kernel's
+    # fixed costs (fold/pad XLA boundary copies, DMA setup) outweigh its
+    # GEMM win (measured: tools/bench_kernel.py)
+    if not (use_pallas and filter_size == 3):
+        return False
+    B, Z, Y, X, _ = grid.shape
+    if Z * Y * X < use_pallas:
+        return False
+    from sgnn_tpu.ops.pallas.conv3d_folded import supported
+
+    return supported(grid.shape, weight.shape)
 
 
-# set by genmodel_apply_dense from cfg.use_pallas_conv (trace-time static);
-# eval-only: the Pallas kernel has no custom VJP yet. Routed only above a
-# voxel-count threshold: at smaller resolutions the kernel's x-variant
-# precomputation and lost XLA fusions outweigh its GEMM win (BENCH_NOTES).
-_USE_PALLAS_CONV = False
-_PALLAS_CONV_MIN_VOXELS = 2_000_000
-
-
-def _subm_conv(grid, mask, weight, filter_size=3):
-    """Submanifold conv: dense conv then mask. weight [K, Cin, Cout]."""
-    nvox = grid.shape[0] * grid.shape[1] * grid.shape[2] * grid.shape[3]
-    if (
-        _USE_PALLAS_CONV and filter_size == 3
-        and nvox >= _PALLAS_CONV_MIN_VOXELS
-    ):
+def _conv_one(grid, weight, filter_size, use_pallas):
+    """Dense 3^3 (or f^3) conv of one group. weight [K, Cin_g, Cout]."""
+    if _pallas_ok(grid, weight, use_pallas, filter_size):
         from sgnn_tpu.ops.pallas.conv3d_folded import conv3d_3x3x3_folded
 
-        try:
-            y = conv3d_3x3x3_folded(grid, weight.astype(grid.dtype))
-            return y * mask[..., None].astype(y.dtype)
-        except ValueError:
-            pass  # unsupported shape: fall through to the XLA conv
+        return conv3d_3x3x3_folded(grid, weight.astype(grid.dtype))
     w = weight.reshape(
         filter_size, filter_size, filter_size, *weight.shape[1:]
     ).astype(grid.dtype)
     pad = (filter_size - 1) // 2
-    y = jax.lax.conv_general_dilated(
+    return jax.lax.conv_general_dilated(
         grid, w, window_strides=(1, 1, 1), padding=[(pad, pad)] * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        **_accum(grid.dtype),
+        **D._accum(grid.dtype),
     ).astype(grid.dtype)
+
+
+def _subm_conv(groups, mask, weight, filter_size=3, use_pallas=False):
+    """Submanifold conv of a grouped activation: per-group dense convs
+    summed, then masked. weight [K, sum(C_i), Cout] -> ONE output grid."""
+    assert weight.shape[1] == _gwidth(groups), (
+        f"conv Cin {weight.shape[1]} != groups {_gwidth(groups)}"
+    )
+    y = None
+    off = 0
+    for g in groups:
+        c = g.shape[-1]
+        yi = _conv_one(g, weight[:, off:off + c, :], filter_size, use_pallas)
+        y = yi if y is None else y + yi
+        off += c
     return y * mask[..., None].astype(y.dtype)
 
 
-def _strided_conv(grid, mask, weight):
+def _strided_conv(groups, mask, weight):
     """Stride-2 conv; new mask = any active child. weight [8, Cin, Cout]."""
-    w = weight.reshape(2, 2, 2, *weight.shape[1:]).astype(grid.dtype)
-    y = jax.lax.conv_general_dilated(
-        grid, w, window_strides=(2, 2, 2), padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        **_accum(grid.dtype),
-    ).astype(grid.dtype)
+    y = None
+    off = 0
+    for g in groups:
+        c = g.shape[-1]
+        w = weight[:, off:off + c, :].reshape(
+            2, 2, 2, c, weight.shape[-1]
+        ).astype(g.dtype)
+        yi = jax.lax.conv_general_dilated(
+            g, w, window_strides=(2, 2, 2), padding="VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            **D._accum(g.dtype),
+        ).astype(g.dtype)
+        y = yi if y is None else y + yi
+        off += c
     new_mask = D.max_pool3d(mask.astype(jnp.int8)) > 0
     return y * new_mask[..., None].astype(y.dtype), new_mask
+
+
+def _upsampled_conv(groups, weight27):
+    """Fused [2x NN upsample -> 3^3 conv] of a grouped activation
+    (ops/dense.py:upsampled_conv3d per group, partial sums added)."""
+    y = None
+    off = 0
+    for g in groups:
+        c = g.shape[-1]
+        yi = D.upsampled_conv3d(g, weight27[:, off:off + c, :])
+        y = yi if y is None else y + yi
+        off += c
+    return y
+
+
+def _linear(groups, p):
+    """concat(groups) @ W + b with per-group row slices; f32 output."""
+    W = p["weight"]
+    acc = None
+    off = 0
+    for g in groups:
+        c = g.shape[-1]
+        yi = (g @ W[off:off + c].astype(g.dtype)).astype(jnp.float32)
+        acc = yi if acc is None else acc + yi
+        off += c
+    return acc + p["bias"].astype(jnp.float32)
+
+
+def _mask_bn(params, stats, groups, mask, *, training, axis_name, relu=True):
+    """Masked batch norm over active sites, group-wise: params/stats are
+    full-width vectors sliced per group. Returns (groups', new_stats)."""
+    outs = []
+    means, vars_ = [], []
+    off = 0
+    flat_mask = mask.reshape(-1)
+    for g in groups:
+        c = g.shape[-1]
+        p = {k: params[k][off:off + c] for k in ("scale", "bias")}
+        st = {k: stats[k][off:off + c] for k in ("mean", "var")}
+        y, ns = BN.batch_norm(
+            p, st, g.reshape(-1, c), flat_mask,
+            training=training, relu=relu, axis_name=axis_name,
+            eps=BN.SPARSE_BN_EPS,
+        )
+        outs.append(y.reshape(g.shape))
+        if training:
+            means.append(ns["mean"])
+            vars_.append(ns["var"])
+        off += c
+    if training:
+        new_stats = {
+            "mean": jnp.concatenate(means) if len(means) > 1 else means[0],
+            "var": jnp.concatenate(vars_) if len(vars_) > 1 else vars_[0],
+        }
+    else:
+        new_stats = stats
+    return outs, new_stats
 
 
 def _upsample2(grid):
@@ -134,46 +208,64 @@ def _upsample2_mask(mask):
 # ------------------------------------------------------------------- blocks
 
 
-def _resblock(params, stats, grid, mask, *, training, axis_name):
+def _resblock(params, stats, grid, mask, *, training, axis_name,
+              use_pallas=False):
+    """Residual block on a SINGLE grid (conv outputs are single groups)."""
     s = {}
-    y, s["bn0"] = _mask_bn(params["bn0"], stats["bn0"], grid, mask,
+    y, s["bn0"] = _mask_bn(params["bn0"], stats["bn0"], [grid], mask,
                            training=training, axis_name=axis_name)
-    y = _subm_conv(y, mask, params["conv0"])
-    y, s["bn1"] = _mask_bn(params["bn1"], stats["bn1"], y, mask,
+    y = _subm_conv(y, mask, params["conv0"], use_pallas=use_pallas)
+    y, s["bn1"] = _mask_bn(params["bn1"], stats["bn1"], [y], mask,
                            training=training, axis_name=axis_name)
-    y = _subm_conv(y, mask, params["conv1"])
+    y = _subm_conv(y, mask, params["conv1"], use_pallas=use_pallas)
     return grid + y, s
 
 
-def _unet(params, stats, grid, mask, *, training, axis_name):
-    """FullyConvolutionalNet (reps=1, residual): see nn/blocks.py."""
+def _unet(params, stats, groups, mask, *, training, axis_name,
+          use_pallas=False):
+    """FullyConvolutionalNet (reps=1, residual): see nn/blocks.py.
+    Input is grouped; returns GROUPS [x, up(deeper)...] — the virtual
+    concat of all pyramid levels at this resolution."""
     s = {}
-    x, s["block"] = _resblock(params["block"], stats["block"], grid, mask,
-                              training=training, axis_name=axis_name)
+    if len(groups) == 1:
+        x = groups[0]
+    else:
+        # the resblock needs a single residual carrier; only the top-level
+        # unet call ever receives one group, so this never materializes
+        x = jnp.concatenate(groups, axis=-1)
+    x, s["block"] = _resblock(params["block"], stats["block"], x, mask,
+                              training=training, axis_name=axis_name,
+                              use_pallas=use_pallas)
     if "deeper" not in params:
-        return x, s
-    y, s["down_bn"] = _mask_bn(params["down_bn"], stats["down_bn"], x, mask,
-                               training=training, axis_name=axis_name)
+        return [x], s
+    y, s["down_bn"] = _mask_bn(params["down_bn"], stats["down_bn"], [x],
+                               mask, training=training, axis_name=axis_name)
     down, down_mask = _strided_conv(y, mask, params["down_conv"])
-    deep, s["deeper"] = _unet(params["deeper"], stats["deeper"], down,
+    deep, s["deeper"] = _unet(params["deeper"], stats["deeper"], [down],
                               down_mask, training=training,
-                              axis_name=axis_name)
-    up = _upsample2(deep) * mask[..., None].astype(deep.dtype)
-    return jnp.concatenate([x, up], axis=-1), s
+                              axis_name=axis_name, use_pallas=use_pallas)
+    maskf = mask[..., None]
+    ups = [
+        _upsample2(d) * maskf.astype(d.dtype)
+        for d in deep
+    ]
+    return [x, *ups], s
 
 
-def _encoder_layer(params, stats, grid, mask, *, training, axis_name):
+def _encoder_layer(params, stats, groups, mask, *, training, axis_name,
+                   use_pallas=False):
     s = {}
-    x = _subm_conv(grid, mask, params["p1"])
+    x = _subm_conv(groups, mask, params["p1"], use_pallas=use_pallas)
     x, s["p2"] = _resblock(params["p2"], stats["p2"], x, mask,
-                           training=training, axis_name=axis_name)
-    y, s["p2_bn"] = _mask_bn(params["p2_bn"], stats["p2_bn"], x, mask,
+                           training=training, axis_name=axis_name,
+                           use_pallas=use_pallas)
+    y, s["p2_bn"] = _mask_bn(params["p2_bn"], stats["p2_bn"], [x], mask,
                              training=training, axis_name=axis_name)
     down, down_mask = _strided_conv(y, mask, params["p3"])
-    z, s["p3_bn"] = _mask_bn(params["p3_bn"], stats["p3_bn"], down,
+    z, s["p3_bn"] = _mask_bn(params["p3_bn"], stats["p3_bn"], [down],
                              down_mask, training=training,
                              axis_name=axis_name)
-    return z, down_mask, (y, mask), s
+    return z[0], down_mask, (y[0], mask), s
 
 
 # --------------------------------------------------------------- full model
@@ -212,9 +304,12 @@ def genmodel_apply_dense(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
     """Forward pass, dense-flow execution. Mirrors models/sgnn.py
     genmodel_apply (and /root/reference/torch/model.py:371-416)."""
     s: dict[str, Any] = {}
-    global _USE_PALLAS_CONV
-    _USE_PALLAS_CONV = (
-        getattr(cfg, "use_pallas_conv", False) and not training
+    # kernel routing is threaded explicitly (no module globals): the Pallas
+    # folded conv runs wherever its shape constraints hold
+    use_pallas = (
+        max(1, int(getattr(cfg, "pallas_min_voxels", 1)))
+        if (getattr(cfg, "use_pallas_conv", False) and not training)
+        else 0
     )
     dt = jnp.dtype(cfg.compute_dtype)
     grid = sparse_to_dense(st).astype(dt)  # [B, Z, Y, X, input_nf]
@@ -231,8 +326,8 @@ def genmodel_apply_dense(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
     # ---- encoder sparse levels (checkpointed under training: level-0
     # residuals are full-resolution)
     def enc_layer(p, st_l, x, m):
-        return _encoder_layer(p, st_l, x, m, training=training,
-                              axis_name=axis_name)
+        return _encoder_layer(p, st_l, [x], m, training=training,
+                              axis_name=axis_name, use_pallas=use_pallas)
 
     if training:
         enc_layer = jax.checkpoint(enc_layer)
@@ -249,7 +344,8 @@ def genmodel_apply_dense(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
     skips.append((x, m))  # ft3 at 1/8 res
     s["encoder"] = {"process_sparse": enc_s}
 
-    # ---- dense trunk (identical to the sparse-mode path: already dense)
+    # ---- dense trunk (identical to the sparse-mode path: already dense).
+    # Volumes here are 1/8^3 and below — materialized concats are cheap.
     from sgnn_tpu.models.sgnn import _dense_cbr
 
     enc0, s["encoder"]["encode_dense0"] = _dense_cbr(
@@ -290,52 +386,50 @@ def genmodel_apply_dense(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
 
     # ---- dense_coarse_to_sparse (model.py:315-336) as a mask
     cur_mask = jax.nn.sigmoid(coarse_out[..., 0]) > 0.5
-    feat_list = []
+    cmf = cur_mask[..., None]
+    cur = []  # grouped activation (virtual concat, model.py:326-333)
     if cfg.pass_occ:
-        feat_list.append(coarse_out.astype(dt))
+        cur.append(coarse_out.astype(dt) * cmf.astype(dt))
     if cfg.pass_feats:
-        feat_list.append(y)
-    cur = jnp.concatenate(feat_list, -1) * cur_mask[..., None].astype(dt)
+        cur.append(y * cmf.astype(y.dtype))
 
     # ---- refinement levels
     L_ref = cfg.num_refine_levels
     ref_outs = []
     ref_masks = []
     new_ref_stats = [stats["refinement"][h] for h in range(L_ref)]
+
     def refine_level(p, st_h, cur, cur_mask):
         """One generative level: sparse U-Net -> 2x upsample -> heads ->
         prune (model.py:209-247). Checkpointed whole under training: its
         full-resolution activations dominate autodiff residuals."""
         s_h = {}
-        z = _subm_conv(cur, cur_mask, p["p1"])
-        z, s_h["p2"] = _unet(p["p2"], st_h["p2"], z, cur_mask,
-                             training=training, axis_name=axis_name)
+        z = _subm_conv(cur, cur_mask, p["p1"], use_pallas=use_pallas)
+        z, s_h["p2"] = _unet(p["p2"], st_h["p2"], [z], cur_mask,
+                             training=training, axis_name=axis_name,
+                             use_pallas=use_pallas)
         z, s_h["p3"] = _mask_bn(p["p3"], st_h["p3"], z, cur_mask,
                                 training=training, axis_name=axis_name)
         # generative 2x upsample fused with the n1 conv (model.py:192-207;
         # ops/dense.py:upsampled_conv3d): z is already zero off cur_mask,
         # so conv(nn_upsample(z)) == the fused transposed conv on z
         mask_unfilt = _upsample2_mask(cur_mask)
-        up = D.upsampled_conv3d(z, p["n1"])
+        up = _upsampled_conv(z, p["n1"])
         up = up * mask_unfilt[..., None].astype(up.dtype)
-        up, s_h["n2"] = _mask_bn(p["n2"], st_h["n2"], up, mask_unfilt,
-                                 training=training, axis_name=axis_name)
-        occ = (
-            up @ p["linear"]["weight"] + p["linear"]["bias"]
-        ).astype(jnp.float32)
-        sdf = (
-            up @ p["linearsdf"]["weight"] + p["linearsdf"]["bias"]
-        ).astype(jnp.float32)
+        ups, s_h["n2"] = _mask_bn(p["n2"], st_h["n2"], [up], mask_unfilt,
+                                  training=training, axis_name=axis_name)
+        up = ups[0]
+        occ = _linear([up], p["linear"])
+        sdf = _linear([up], p["linearsdf"])
         out_h = jnp.concatenate([occ, sdf], -1)
         # prune (model.py:233-246)
         new_mask = mask_unfilt & (jax.nn.sigmoid(occ[..., 0]) > 0.5)
-        if cfg.pass_feats and cfg.pass_occ:
-            nxt = jnp.concatenate([up, out_h.astype(dt)], -1)
-        elif cfg.pass_feats:
-            nxt = up
-        else:
-            nxt = out_h.astype(dt)
-        nxt = nxt * new_mask[..., None].astype(dt)
+        nmf = new_mask[..., None]
+        nxt = []
+        if cfg.pass_feats:
+            nxt.append(up * nmf.astype(dt))
+        if cfg.pass_occ:
+            nxt.append(out_h.astype(dt) * nmf.astype(dt))
         return nxt, new_mask, out_h, mask_unfilt, s_h
 
     if training:
@@ -346,10 +440,7 @@ def genmodel_apply_dense(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
         st_h = stats["refinement"][h]
         if cfg.use_skip_sparse:
             sk_grid, sk_mask = skips[L_ref - h]
-            cur = jnp.concatenate(
-                [cur, sk_grid * cur_mask[..., None].astype(sk_grid.dtype)],
-                axis=-1,
-            )
+            cur = [*cur, sk_grid * cur_mask[..., None].astype(sk_grid.dtype)]
         cur, cur_mask, out_h, mask_unfilt, s_h = refine_level(
             p, st_h, cur, cur_mask
         )
@@ -364,21 +455,17 @@ def genmodel_apply_dense(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
         st_s = stats["surfacepred"]
         if cfg.use_skip_sparse:
             sk_grid, sk_mask = skips[0]
-            cur = jnp.concatenate(
-                [cur, sk_grid * cur_mask[..., None].astype(sk_grid.dtype)],
-                axis=-1,
-            )
+            cur = [*cur, sk_grid * cur_mask[..., None].astype(sk_grid.dtype)]
 
         def surf_block(p, st_s, cur, cur_mask):
             s_s = {}
-            z = _subm_conv(cur, cur_mask, p["p1"])
-            z, s_s["p2"] = _unet(p["p2"], st_s["p2"], z, cur_mask,
-                                 training=training, axis_name=axis_name)
+            z = _subm_conv(cur, cur_mask, p["p1"], use_pallas=use_pallas)
+            z, s_s["p2"] = _unet(p["p2"], st_s["p2"], [z], cur_mask,
+                                 training=training, axis_name=axis_name,
+                                 use_pallas=use_pallas)
             z, s_s["p3"] = _mask_bn(p["p3"], st_s["p3"], z, cur_mask,
                                     training=training, axis_name=axis_name)
-            surf = (
-                z @ p["linear"]["weight"] + p["linear"]["bias"]
-            ).astype(jnp.float32)[..., 0]
+            surf = _linear(z, p["linear"])[..., 0]
             return surf, s_s
 
         if training:

@@ -367,6 +367,16 @@ def genmodel_apply(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
     inactive levels are simply not traced (the reference skips them when
     loss_weights[h+1]==0, model.py:387-396).
     """
+    # scope the conv backend to this trace (re-entrancy safe: ContextVar)
+    with CV.backend(cfg.conv_backend):
+        return _genmodel_apply_body(
+            params, stats, cfg, st, num_refine_active=num_refine_active,
+            do_surf=do_surf, training=training, axis_name=axis_name,
+        )
+
+
+def _genmodel_apply_body(params, stats, cfg, st, *, num_refine_active,
+                         do_surf, training, axis_name):
     s: dict[str, Any] = {}
     # compute dtype: params stay f32; features flow in cfg.compute_dtype
     # (bf16 keeps the MXU fed at 2x rate; GEMM/BN accumulate in f32 and all
@@ -374,7 +384,6 @@ def genmodel_apply(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
     dt = jnp.dtype(cfg.compute_dtype)
     if st.feats.dtype != dt:
         st = st.with_feats(st.feats.astype(dt))
-    CV.set_backend(cfg.conv_backend)  # trace-time static choice
     x_dense, coarse_out, feats_sparse, s["encoder"] = tsdf_encoder_apply(
         params["encoder"], stats["encoder"], cfg, st,
         training=training, axis_name=axis_name,

@@ -22,6 +22,7 @@ the active sites — which is exactly what the unit tests check against.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 
 import jax
 import jax.numpy as jnp
@@ -44,24 +45,30 @@ from sgnn_tpu.ops.sparse import (
 #              keeps the systolic array fully fed, while gathers are
 #              bandwidth-bound random access.
 # Both are semantically identical (verified against each other in tests).
-_BACKEND = "gather"
+# Held in a ContextVar (not a module global) so two configs tracing
+# concurrently in different threads can't stomp each other's routing.
+_BACKEND: contextvars.ContextVar[str] = contextvars.ContextVar(
+    "sgnn_conv_backend", default="gather"
+)
+
+
+def get_backend() -> str:
+    return _BACKEND.get()
 
 
 def set_backend(name: str):
-    global _BACKEND
     assert name in ("gather", "dense"), name
-    _BACKEND = name
+    _BACKEND.set(name)
 
 
 @contextlib.contextmanager
 def backend(name: str):
-    global _BACKEND
-    prev = _BACKEND
-    set_backend(name)
+    assert name in ("gather", "dense"), name
+    token = _BACKEND.set(name)
     try:
         yield
     finally:
-        _BACKEND = prev
+        _BACKEND.reset(token)
 
 
 def _tap_groups(num_taps: int, cin: int, target_k: int = 128) -> list[tuple[int, int]]:
@@ -153,7 +160,7 @@ def submanifold_conv3d(
     assert weight.shape[0] == offsets.shape[0], (
         f"weight taps {weight.shape[0]} != offsets {offsets.shape[0]}"
     )
-    if _BACKEND == "dense":
+    if _BACKEND.get() == "dense":
         dense = sparse_to_dense(st)  # [B, Z, Y, X, C]
         w = weight.reshape(
             filter_size, filter_size, filter_size, *weight.shape[1:]
@@ -201,7 +208,7 @@ def strided_conv3d_down(
     out_locs, num_out, _ = C.unique_locs(
         parents, st.num_valid, out_size, st.batch_size, cap_out
     )
-    if _BACKEND == "dense":
+    if _BACKEND.get() == "dense":
         dense = sparse_to_dense(st)
         w = weight.reshape(2, 2, 2, *weight.shape[1:]).astype(dense.dtype)
         y = jax.lax.conv_general_dilated(

@@ -1,27 +1,33 @@
 """Pallas TPU kernel: lane-folded 3^3 convolution for narrow channels.
 
-XLA runs SG-NN's narrow convs (C=16) at ~2.4% MXU utilization with heavy
-layout copies (BENCH_NOTES.md); this kernel reaches full-lane MXU
-occupancy by construction:
+XLA runs SG-NN's narrow convs (C=8/16) at ~2.4% MXU utilization with heavy
+layout copies (BENCH_NOTES.md); this kernel reaches high MXU occupancy by
+construction. v2 design (round 2):
 
-  * the input is space-to-depth folded along x: [B, Z, Y, X/8, 128] where
-    lane l = xi*C + c packs 8 voxels x C=16 channels — a pure reshape, so
-    every DMA is 128-lane aligned (Mosaic requires slices tiled (8, 128)
-    in the minor two dims, with 8-aligned offsets).
-  * the three x-tap shifts are precomputed AT XLA LEVEL as three folded
-    HBM arrays (lane roll by +-C with cross-block carries — cheap fused
-    elementwise work), so the kernel never slices unaligned minor dims:
-    per tap it takes leading-(z,y)-dim slices of an aligned tile, a
-    layout-trivial reshape, and one GEMM.
-  * each of the 27 taps is one [R, 128] x [128, 128] GEMM with a
-    BLOCK-DIAGONAL weight (8 copies of the [16,16] tap matrix). The zero
-    blocks cost nothing: a narrow N=16 GEMM would idle the same 112
-    lanes, so this runs at the full-MXU rate.
+  * the input is space-to-depth folded along x: [B, Z, Y, X/F, 128] where
+    lane l = xi*C + c packs F = 128/C voxels x C channels — a pure reshape,
+    so every DMA is 128-lane aligned (Mosaic requires slices tiled (8, 128)
+    in the minor two dims).
+  * ALL 3 x-taps of a (dz, dy) tap column are folded into ONE 128x128
+    weight: out fold-slot i consumes in slots i-1, i, i+1, so the three
+    x-taps occupy the sub/main/super block-diagonals of a single matrix.
+    9 main GEMMs replace 27.
+  * the two cross-block carries (out slot 0 needs the previous x-block's
+    slot F-1 for dx=-1; out slot F-1 needs the next block's slot 0 for
+    dx=+1) use DISJOINT lhs lanes and disjoint output columns, so both fit
+    in ONE additional GEMM per (dz, dy) against a "carry" lhs built
+    IN-KERNEL from the same tile (one x-block shift + lane select — no
+    XLA-side variant arrays, no extra HBM traffic). 18 GEMMs total, each
+    [rows, 128] x [128, 128] with rows = tz*ty*xq.
+  * z/y halos come from the DMA'd tile; slicing them only touches leading
+    (non-minor) dims, which is address arithmetic, not relayout.
 
-Constraints: C == 16, X % 64 == 0 (folded block count 8-aligned),
-C_out <= 16. Callers fall back to the XLA conv otherwise.
+Supported: C in {8, 16, 32}, X % (128/C) == 0, Cout <= C, bf16/f32.
+Backward: custom VJP — dx reuses this kernel with the flipped-transposed
+weight; dW uses XLA's conv weight-gradient (tiny output, [27, C, C]).
 
-STATUS: see BENCH_NOTES.md for measured numbers vs the XLA conv.
+Replaces scn's fused gather-GEMM-scatter role (/root/reference/torch/
+model.py:7) for the dense-flow execution's submanifold convs.
 """
 
 from __future__ import annotations
@@ -33,110 +39,162 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-FOLD = 8
 LANES = 128
-
-
-def _kernel(xm_ref, x0_ref, xp_ref, w_ref, out_ref,
-            tm_ref, t0_ref, tp_ref, sems, *, tz, ty, xq, acc_dtype):
-    b = pl.program_id(0)
-    iz = pl.program_id(1)
-    iy = pl.program_id(2)
-    copies = []
-    for i, (src, dst) in enumerate(
-        ((xm_ref, tm_ref), (x0_ref, t0_ref), (xp_ref, tp_ref))
-    ):
-        dma = pltpu.make_async_copy(
-            src.at[b, pl.ds(iz * tz, tz + 2), pl.ds(iy * ty, ty + 2), :, :],
-            dst,
-            sems.at[i],
-        )
-        dma.start()
-        copies.append(dma)
-    for dma in copies:
-        dma.wait()
-
-    rows = tz * ty * xq
-    acc = jnp.zeros((rows, LANES), acc_dtype)
-    tiles = {-1: tm_ref, 0: t0_ref, 1: tp_ref}
-    for dz in range(3):
-        for dy in range(3):
-            for dx in (-1, 0, 1):
-                lhs = tiles[dx][dz:dz + tz, dy:dy + ty].reshape(rows, LANES)
-                # tap order must match coords.neighbor_offsets: x fastest
-                tap = dz * 9 + dy * 3 + (dx + 1)
-                acc = acc + jnp.dot(
-                    lhs, w_ref[tap], preferred_element_type=acc_dtype
-                )
-    out_ref[0] = acc.reshape(tz, ty, xq, LANES).astype(out_ref.dtype)
-
-
-def _block_diag_weights(weight27: jax.Array, dtype) -> jax.Array:
-    """[27, Cin, Cout] -> [27, 128, 128] block-diagonal (8 voxel slots)."""
-    K, cin, cout = weight27.shape
-    w = jnp.zeros((K, LANES, LANES), jnp.float32)
-    for i in range(FOLD):
-        w = w.at[:, i * cin:(i + 1) * cin, i * cin:i * cin + cout].set(
-            weight27
-        )
-    return w.astype(dtype)
 
 
 def _round_up(v, m):
     return ((v + m - 1) // m) * m
 
 
-def _x_shift_variants(xf: jax.Array, cin: int):
-    """xf [B, Zp, Yp, xq, 128] -> (minus, base, plus) where plus[..., b, l]
-    holds the value one ORIGINAL voxel to the right (lane +cin with a
-    carry from block b+1), and minus one to the left. Pure XLA elementwise
-    + pad/slice work, fused cheaply."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, LANES), 4)
-    nxt = jnp.pad(xf[:, :, :, 1:], ((0, 0),) * 3 + ((0, 1), (0, 0)))
-    prv = jnp.pad(xf[:, :, :, :-1], ((0, 0),) * 3 + ((1, 0), (0, 0)))
-    plus = jnp.where(
-        lane < LANES - cin,
-        jnp.roll(xf, -cin, axis=4),
-        jnp.roll(nxt, -cin, axis=4),
-    )
-    minus = jnp.where(
-        lane >= cin,
-        jnp.roll(xf, cin, axis=4),
-        jnp.roll(prv, cin, axis=4),
-    )
-    return minus, xf, plus
+def supported(x_shape, w_shape) -> bool:
+    """True when conv3d_3x3x3_folded handles this (x, weight27) pair."""
+    if len(x_shape) != 5 or len(w_shape) != 3:
+        return False
+    B, Z, Y, X, C = x_shape
+    K, cin, cout = w_shape
+    if K != 27 or cin != C or cout > cin:
+        return False
+    if C not in (8, 16, 32):
+        return False
+    fold = LANES // C
+    return X % fold == 0 and Z >= 1 and Y >= 1
 
 
-def conv3d_3x3x3_folded(x: jax.Array, weight27: jax.Array) -> jax.Array:
-    """conv3x3x3(x, w) with zero padding via the lane-folded kernel.
+def _pick_tile(n, candidates):
+    for t in candidates:
+        if n % t == 0:
+            return t
+    return 1
 
-    x [B, Z, Y, X, C] channels-last, C == 16, X % 64 == 0;
-    weight27 [27, Cin, Cout] with Cout <= Cin. Raises ValueError when the
-    shape constraints don't hold (caller falls back to the XLA conv).
+
+def _kernel(xf_ref, wm_ref, wc_ref, out_ref, t_ref, sems, *,
+            tz, ty, xq, cin, acc_dtype):
+    nz = pl.num_programs(1)
+    ny = pl.num_programs(2)
+    b = pl.program_id(0)
+    iz = pl.program_id(1)
+    iy = pl.program_id(2)
+    k = (b * nz + iz) * ny + iy
+    total = pl.num_programs(0) * nz * ny
+
+    def dma_for(step, slot):
+        bb = step // (nz * ny)
+        r = step % (nz * ny)
+        return pltpu.make_async_copy(
+            xf_ref.at[
+                bb,
+                pl.ds((r // ny) * tz, tz + 2),
+                pl.ds((r % ny) * ty, ty + 2),
+                :, :,
+            ],
+            t_ref.at[slot],
+            sems.at[slot],
+        )
+
+    # double-buffered input: program k computes on slot k%2 (started by
+    # program k-1) and prefetches program k+1 into the other slot
+    @pl.when(k == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    @pl.when(k + 1 < total)
+    def _():
+        dma_for(k + 1, (k + 1) % 2).start()
+
+    dma_for(k, k % 2).wait()
+    t = t_ref[k % 2]  # [tz+2, ty+2, xq, 128]
+    # carry lhs: lanes < cin take the NEXT x-block (for the dx=+1 carry
+    # into out slot F-1), lanes >= 128-cin take the PREVIOUS x-block (for
+    # the dx=-1 carry into out slot 0). Middle lanes are never read by the
+    # carry weights (zero rows), so the select can leave anything there.
+    zrow = jnp.zeros_like(t[:, :, :1])
+    nxt = jnp.concatenate([t[:, :, 1:], zrow], axis=2)
+    prv = jnp.concatenate([zrow, t[:, :, :-1]], axis=2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, LANES), 3)
+    carry = jnp.where(lane < cin, nxt, prv)
+
+    rows = tz * ty * xq
+    acc = jnp.zeros((rows, LANES), acc_dtype)
+    for dz in range(3):
+        for dy in range(3):
+            k = dz * 3 + dy
+            lhs_m = t[dz:dz + tz, dy:dy + ty].reshape(rows, LANES)
+            acc = acc + jnp.dot(
+                lhs_m, wm_ref[k], preferred_element_type=acc_dtype
+            )
+            lhs_c = carry[dz:dz + tz, dy:dy + ty].reshape(rows, LANES)
+            acc = acc + jnp.dot(
+                lhs_c, wc_ref[k], preferred_element_type=acc_dtype
+            )
+    out_ref[0] = acc.reshape(tz, ty, xq, LANES).astype(out_ref.dtype)
+
+
+def _fold_weights(weight27: jax.Array, cin: int, dtype):
+    """[27, Cin, Cout<=Cin] -> (w_main [9, 128, 128], w_carry [9, 128, 128]).
+
+    w_main[dz*3+dy] carries the three x-taps of the (dz, dy) column on the
+    sub/main/super block-diagonals: rows (i+dx)*C..(+C) x cols i*C..(+C)
+    hold W[tap(dz, dy, dx)]. w_carry holds the two cross-x-block terms:
+    rows 0..C (next block's slot 0) -> cols of out slot F-1 for dx=+1, and
+    rows 128-C.. (previous block's slot F-1) -> cols of out slot 0 for
+    dx=-1. Tap order matches coords.neighbor_offsets (x fastest).
     """
+    K, ci, co = weight27.shape
+    fold = LANES // cin
+    w = weight27.astype(jnp.float32)
+    if co < cin:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, cin - co)))
+    wm = jnp.zeros((9, LANES, LANES), jnp.float32)
+    wc = jnp.zeros((9, LANES, LANES), jnp.float32)
+    for dz in range(3):
+        for dy in range(3):
+            k = dz * 3 + dy
+            for dxi, dx in enumerate((-1, 0, 1)):
+                tap = dz * 9 + dy * 3 + dxi
+                for i in range(fold):
+                    j = i + dx  # input slot feeding output slot i
+                    if 0 <= j < fold:
+                        wm = wm.at[
+                            k,
+                            j * cin:(j + 1) * cin,
+                            i * cin:(i + 1) * cin,
+                        ].set(w[tap])
+            # dx=+1 carry: out slot fold-1 consumes next block's slot 0,
+            # whose values sit in carry-lhs lanes 0..cin
+            tap_p = dz * 9 + dy * 3 + 2
+            wc = wc.at[
+                k, 0:cin, (fold - 1) * cin:fold * cin
+            ].set(w[tap_p])
+            # dx=-1 carry: out slot 0 consumes previous block's slot
+            # fold-1, in carry-lhs lanes 128-cin..128
+            tap_m = dz * 9 + dy * 3 + 0
+            wc = wc.at[
+                k, LANES - cin:LANES, 0:cin
+            ].set(w[tap_m])
+    return wm.astype(dtype), wc.astype(dtype)
+
+
+def _conv_impl(x: jax.Array, weight27: jax.Array) -> jax.Array:
     B, Z, Y, X, C = x.shape
     K, cin, cout = weight27.shape
-    if C != 16 or cin != C or cout > cin or X % 64 or LANES // C != FOLD:
-        raise ValueError(f"unsupported shapes x={x.shape} w={weight27.shape}")
-    tz = max(t for t in (4, 3, 2, 1) if Z % t == 0)
-    ty = max(t for t in (8, 6, 4, 2, 1) if Y % t == 0)
-    xb = X // FOLD
+    fold = LANES // C
+    xb = X // fold
     xq = _round_up(xb, 8)
     xf = x.reshape(B, Z, Y, xb, LANES)
     xf = jnp.pad(xf, ((0, 0), (1, 1), (1, 1), (0, xq - xb), (0, 0)))
-    xm, x0, xp = _x_shift_variants(xf, C)
-    w = _block_diag_weights(weight27, x.dtype)
+    wm, wc = _fold_weights(weight27, C, x.dtype)
+    tz = _pick_tile(Z, (8, 4, 2, 1) if Z % 8 else (8,))
+    ty = _pick_tile(Y, (16, 8, 4, 2, 1))
     grid = (B, Z // tz, Y // ty)
-    tile = pltpu.VMEM((tz + 2, ty + 2, xq, LANES), x.dtype)
+    tile = pltpu.VMEM((2, tz + 2, ty + 2, xq, LANES), x.dtype)
     out = pl.pallas_call(
         functools.partial(
-            _kernel, tz=tz, ty=ty, xq=xq, acc_dtype=jnp.float32
+            _kernel, tz=tz, ty=ty, xq=xq, cin=C, acc_dtype=jnp.float32
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -145,7 +203,56 @@ def conv3d_3x3x3_folded(x: jax.Array, weight27: jax.Array) -> jax.Array:
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, Z, Y, xq, LANES), x.dtype),
-        scratch_shapes=[tile, tile, tile, pltpu.SemaphoreType.DMA((3,))],
-    )(xm, x0, xp, w)
+        scratch_shapes=[tile, pltpu.SemaphoreType.DMA((2,))],
+    )(xf, wm, wc)
     y = out[:, :, :, :xb, :].reshape(B, Z, Y, X, C)
     return y[..., :cout]
+
+
+def _xla_conv(x, weight27):
+    """Reference XLA lowering (also the dW path of the VJP)."""
+    w = weight27.reshape(3, 3, 3, *weight27.shape[1:]).astype(x.dtype)
+    kw = (
+        {} if jnp.dtype(x.dtype) == jnp.bfloat16
+        else {"preferred_element_type": jnp.float32}
+    )
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1, 1), padding=[(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"), **kw,
+    ).astype(x.dtype)
+
+
+@jax.custom_vjp
+def conv3d_3x3x3_folded(x: jax.Array, weight27: jax.Array) -> jax.Array:
+    """conv3x3x3(x, w) with zero padding via the lane-folded kernel.
+
+    x [B, Z, Y, X, C] channels-last; weight27 [27, Cin=C, Cout <= C].
+    Check eligibility with supported() first; raises ValueError otherwise.
+    """
+    if not supported(x.shape, weight27.shape):
+        raise ValueError(f"unsupported shapes x={x.shape} w={weight27.shape}")
+    return _conv_impl(x, weight27)
+
+
+def _conv_fwd(x, weight27):
+    return conv3d_3x3x3_folded(x, weight27), (x, weight27)
+
+
+def _conv_bwd(res, g):
+    x, w = res
+    K, cin, cout = w.shape
+    # dx = conv(g, flip-transpose(w)): flip taps spatially, swap in/out
+    wt = jnp.flip(w.reshape(3, 3, 3, cin, cout), (0, 1, 2))
+    wt = wt.reshape(27, cin, cout).transpose(0, 2, 1)  # [27, Cout, Cin]
+    g = g.astype(x.dtype)
+    if supported(g.shape, wt.shape):
+        dx = _conv_impl(g, wt)
+    else:  # Cout != Cin: fall back to XLA for the input gradient
+        dx = _xla_conv(g, wt)
+    # dW via XLA's conv weight-gradient (output is tiny: [27, Cin, Cout])
+    _, vjp_w = jax.vjp(lambda ww: _xla_conv(x, ww), w)
+    (dw,) = vjp_w(g)
+    return dx, dw
+
+
+conv3d_3x3x3_folded.defvjp(_conv_fwd, _conv_bwd)

@@ -223,8 +223,6 @@ def test_dense_flow_pallas_conv_equivalence(rng):
         return orig(*a, **k)
 
     PC.pl.pallas_call = patched
-    prev_thresh = DF._PALLAS_CONV_MIN_VOXELS
-    DF._PALLAS_CONV_MIN_VOXELS = 0  # force routing at this small test size
     try:
         cfg_p = _dc.replace(cfg, use_pallas_conv=True)
         got, _ = DF.genmodel_apply_dense(
@@ -234,8 +232,6 @@ def test_dense_flow_pallas_conv_equivalence(rng):
         )
     finally:
         PC.pl.pallas_call = orig
-        DF._USE_PALLAS_CONV = False
-        DF._PALLAS_CONV_MIN_VOXELS = prev_thresh
     np.testing.assert_allclose(
         np.asarray(ref.coarse_out), np.asarray(got.coarse_out),
         rtol=1e-3, atol=1e-3,

@@ -171,3 +171,38 @@ def test_step_lr():
     assert S.step_lr(1e-3, 0, 10) == 1e-3
     assert S.step_lr(1e-3, 10, 10) == 5e-4
     assert S.step_lr(1e-3, 25, 10) == 2.5e-4
+
+
+def test_finest_hier_target_clamped_at_missing(rng):
+    """Pin the deliberate deviation from /root/reference/torch/loss.py:20:
+    the finest target_for_hier uses the CLAMPED SDF (-inf -> -truncation),
+    so the surface L1 stays finite when a predicted voxel lands on a
+    missing-target site (the reference's raw target.clone() yields inf
+    there). At observed voxels both conventions agree."""
+    B, Z, Y, X = 1, 4, 4, 4
+    tgt = (rng.randn(B, Z, Y, X) * 2).astype(np.float32)
+    tgt[0, 0, 0, 0] = -np.inf  # missing-target voxel
+    known = np.zeros((B, Z, Y, X), np.uint8)  # everything "observed"
+    hier = [jnp.asarray(rng.randn(B, 2, 2, 2).astype(np.float32))]
+    tb = L.compute_targets(
+        jnp.asarray(tgt), hier, 2, 3.0, True, jnp.asarray(known)
+    )
+    fin = np.asarray(tb.target_for_hier[-1])
+    assert np.isfinite(fin).all()
+    assert fin[0, 0, 0, 0] == -3.0  # clamped, not -inf
+    # observed voxels unchanged up to the clamp
+    obs = np.clip(tgt[np.isfinite(tgt)], -3.0, 3.0)
+    np.testing.assert_allclose(fin[np.isfinite(tgt)], obs)
+
+    # and the L1 evaluated at the missing voxel is finite
+    cap = 8
+    locs = np.array([[0, 0, 0, 0]], np.int32)
+    preds = np.zeros(cap, np.float32)
+    l1 = float(
+        L.compute_l1_predsurf_sparse_dense(
+            jnp.asarray(_pad_locs(locs, cap)), jnp.int32(1),
+            jnp.asarray(preds), jnp.asarray(tb.target_for_hier[-1]),
+            None, False, False, None,
+        )
+    )
+    assert np.isfinite(l1)
