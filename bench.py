@@ -78,7 +78,19 @@ def main():
     locs, feats, num = _synthetic_sparse_input(cfg)
     jl, jf, jn = jnp.asarray(locs), jnp.asarray(feats), jnp.asarray(num)
 
-    if cfg.execution == "dense_flow":
+    if cfg.execution == "dense_flow" and use_pallas:
+        # folded lane-dense execution: the TPU inference fast path
+        from sgnn_tpu.models import folded_flow as FF
+
+        def fwd(params, stats, st):
+            out = FF.genmodel_apply_folded(
+                params, stats, cfg, st,
+                num_refine_active=cfg.num_refine_levels, do_surf=True,
+            )
+            return jnp.sum(
+                jnp.where(out.surf_mask, out.surf_sdf, 0.0)
+            ) + jnp.mean(out.coarse_out)
+    elif cfg.execution == "dense_flow":
         def fwd(params, stats, st):
             out, _ = DF.genmodel_apply_dense(
                 params, stats, cfg, st,

@@ -31,7 +31,23 @@ class SceneInferencer:
     def _get_fn(self, dims: tuple[int, int, int]):
         if dims not in self._cache:
             cfg = self.cfg_base.for_scene(dims)
-            if cfg.execution == "dense_flow":
+            if cfg.execution == "dense_flow" and (
+                jax.default_backend() == "tpu"
+            ):
+                # folded lane-dense execution (models/folded_flow.py):
+                # the TPU fast path; needs the Mosaic compiler
+                from sgnn_tpu.models import folded_flow as FF
+
+                def fn(params, stats, locs, feats, num_valid):
+                    st = make_sparse(
+                        locs, feats, num_valid, cfg.input_dim, 1
+                    )
+                    return FF.genmodel_apply_folded(
+                        params, stats, cfg, st,
+                        num_refine_active=cfg.num_refine_levels,
+                        do_surf=True,
+                    )
+            elif cfg.execution == "dense_flow":
                 from sgnn_tpu.models import dense_flow as DF
 
                 def fn(params, stats, locs, feats, num_valid):

@@ -298,6 +298,50 @@ class DenseFlowOutput:
     surf_mask: jax.Array
 
 
+def dense_trunk(enc_params, enc_stats, cfg, x, *, training, axis_name):
+    """Coarse dense U-Net trunk + occ/sdf heads on the 1/8-res grid
+    (/root/reference/torch/model.py:89-136). Shared by the unfolded and
+    folded executions. Returns (features y, coarse_out f32, stats)."""
+    from sgnn_tpu.models.sgnn import _dense_cbr
+
+    s = {}
+    enc0, s["encode_dense0"] = _dense_cbr(
+        enc_params["encode_dense0"], enc_stats["encode_dense0"], x,
+        stride=2, padding=1, transpose=False, training=training,
+        axis_name=axis_name,
+    )
+    enc1, s["encode_dense1"] = _dense_cbr(
+        enc_params["encode_dense1"], enc_stats["encode_dense1"], enc0,
+        stride=2, padding=1, transpose=False, training=training,
+        axis_name=axis_name,
+    )
+    bott, s["bottleneck_dense2"] = _dense_cbr(
+        enc_params["bottleneck_dense2"], enc_stats["bottleneck_dense2"],
+        enc1, stride=1, padding=0, transpose=False, training=training,
+        axis_name=axis_name,
+    )
+    dec_in = jnp.concatenate([bott, enc1], -1) if cfg.use_skip_dense else bott
+    dec0, s["decode_dense3"] = _dense_cbr(
+        enc_params["decode_dense3"], enc_stats["decode_dense3"], dec_in,
+        stride=2, padding=1, transpose=True, training=training,
+        axis_name=axis_name,
+    )
+    dec_in = jnp.concatenate([dec0, enc0], -1) if cfg.use_skip_dense else dec0
+    y, s["decode_dense4"] = _dense_cbr(
+        enc_params["decode_dense4"], enc_stats["decode_dense4"], dec_in,
+        stride=2, padding=1, transpose=True, training=training,
+        axis_name=axis_name,
+    )
+    y, s["final"] = _dense_cbr(
+        enc_params["final"], enc_stats["final"], y, stride=1, padding=0,
+        transpose=False, training=training, axis_name=axis_name,
+    )
+    occ = D.conv3d(y, enc_params["occpred"])
+    sdf = D.conv3d(y, enc_params["sdfpred"])
+    coarse_out = jnp.concatenate([occ, sdf], -1).astype(jnp.float32)
+    return y, coarse_out, s
+
+
 def genmodel_apply_dense(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
                          num_refine_active: int, do_surf: bool,
                          training: bool, axis_name=None):
@@ -346,43 +390,11 @@ def genmodel_apply_dense(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
 
     # ---- dense trunk (identical to the sparse-mode path: already dense).
     # Volumes here are 1/8^3 and below — materialized concats are cheap.
-    from sgnn_tpu.models.sgnn import _dense_cbr
-
-    enc0, s["encoder"]["encode_dense0"] = _dense_cbr(
-        params["encoder"]["encode_dense0"],
-        stats["encoder"]["encode_dense0"], x, stride=2, padding=1,
-        transpose=False, training=training, axis_name=axis_name,
+    y, coarse_out, s_trunk = dense_trunk(
+        params["encoder"], stats["encoder"], cfg, x,
+        training=training, axis_name=axis_name,
     )
-    enc1, s["encoder"]["encode_dense1"] = _dense_cbr(
-        params["encoder"]["encode_dense1"],
-        stats["encoder"]["encode_dense1"], enc0, stride=2, padding=1,
-        transpose=False, training=training, axis_name=axis_name,
-    )
-    bott, s["encoder"]["bottleneck_dense2"] = _dense_cbr(
-        params["encoder"]["bottleneck_dense2"],
-        stats["encoder"]["bottleneck_dense2"], enc1, stride=1, padding=0,
-        transpose=False, training=training, axis_name=axis_name,
-    )
-    dec_in = jnp.concatenate([bott, enc1], -1) if cfg.use_skip_dense else bott
-    dec0, s["encoder"]["decode_dense3"] = _dense_cbr(
-        params["encoder"]["decode_dense3"],
-        stats["encoder"]["decode_dense3"], dec_in, stride=2, padding=1,
-        transpose=True, training=training, axis_name=axis_name,
-    )
-    dec_in = jnp.concatenate([dec0, enc0], -1) if cfg.use_skip_dense else dec0
-    y, s["encoder"]["decode_dense4"] = _dense_cbr(
-        params["encoder"]["decode_dense4"],
-        stats["encoder"]["decode_dense4"], dec_in, stride=2, padding=1,
-        transpose=True, training=training, axis_name=axis_name,
-    )
-    y, s["encoder"]["final"] = _dense_cbr(
-        params["encoder"]["final"], stats["encoder"]["final"], y,
-        stride=1, padding=0, transpose=False, training=training,
-        axis_name=axis_name,
-    )
-    occ = D.conv3d(y, params["encoder"]["occpred"])
-    sdf = D.conv3d(y, params["encoder"]["sdfpred"])
-    coarse_out = jnp.concatenate([occ, sdf], -1).astype(jnp.float32)
+    s["encoder"].update(s_trunk)
 
     # ---- dense_coarse_to_sparse (model.py:315-336) as a mask
     cur_mask = jax.nn.sigmoid(coarse_out[..., 0]) > 0.5

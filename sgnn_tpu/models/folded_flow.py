@@ -1,0 +1,222 @@
+"""Folded (lane-dense) execution of GenModel — the TPU inference fast path.
+
+Same semantics as models/dense_flow.py (which mirrors /root/reference/
+torch/model.py:371-416), but every full/half/quarter-resolution activation
+lives in the folded layout of ops/folded.py: [B, Z+2, Y+2, xq, 128] with
+F = 128/16 x-voxels packed into lanes. Why this exists: XLA:TPU physically
+inflates channels-last narrow-C grids ~8-16x (lane padding), so the
+unfolded execution pays that inflation on every elementwise pass and
+inserts layout copies around every conv. Folded, the pipeline is:
+
+  * 3^3 submanifold convs  -> lane-folded Pallas kernel (tri-block-
+                              diagonal GEMMs at full MXU width)
+  * stride-2 convs         -> leading-dim slices + [256->128] lane GEMMs
+  * 2x upsampling          -> leading repeats + [128->256] lane dup GEMM
+  * heads / occupancy      -> block-diagonal lane GEMMs
+  * BN / masking / adds    -> full-width vector ops
+
+with ZERO per-op layout conversions: unfolds happen only at the coarse
+trunk boundary (1/8 resolution, cheap) and when emitting outputs.
+
+Inference-only: training runs the unfolded dense_flow path (whose
+gradients XLA handles); cross-checked against it by tests/test_folded_
+model.py on shared inputs.
+
+Parameters/stats are THE SAME pytree as models/sgnn.py — sgnn.pth
+checkpoint conversions work unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sgnn_tpu.config import SGNNConfig
+from sgnn_tpu.models.dense_flow import DenseFlowOutput, dense_trunk
+from sgnn_tpu.ops import folded as FO
+from sgnn_tpu.ops.folded import FGrid
+from sgnn_tpu.ops.sparse import SparseTensor
+
+CPAD = 16  # uniform lane budget: all live widths here are <= 16
+
+
+def _bn_groups(params, stats, groups, fm):
+    """Eval-mode BN over grouped FGrids with full-width param slices."""
+    outs = []
+    off = 0
+    for fg in groups:
+        c = fg.real_c
+        p = {k: params[k][off:off + c] for k in ("scale", "bias")}
+        st = {k: stats[k][off:off + c] for k in ("mean", "var")}
+        y, _ = FO.bn_folded(p, st, fg, fm, training=False)
+        outs.append(y)
+        off += c
+    return outs
+
+
+def _resblock(params, stats, fg, fm):
+    y = _bn_groups(params["bn0"], stats["bn0"], [fg], fm)
+    y = FO.subm_conv_folded(y, fm, params["conv0"],
+                            params["conv0"].shape[-1])
+    y = _bn_groups(params["bn1"], stats["bn1"], [y], fm)
+    y = FO.subm_conv_folded(y, fm, params["conv1"],
+                            params["conv1"].shape[-1])
+    return fg.with_data(fg.data + y.data)
+
+
+def _unet(params, stats, fg, fm):
+    """FullyConvolutionalNet (reps=1, residual); returns GROUPS (the
+    virtual concat of pyramid levels) + the same fm."""
+    x = _resblock(params["block"], stats["block"], fg, fm)
+    if "deeper" not in params:
+        return [x]
+    y = _bn_groups(params["down_bn"], stats["down_bn"], [x], fm)
+    down = FO.strided_conv_folded(y, params["down_conv"],
+                                  params["down_conv"].shape[-1])
+    down_fm = FO.mask_down_folded(fm)
+    down = down.with_data(down.data * down_fm.data)
+    deep = _unet(params["deeper"], stats["deeper"], down, down_fm)
+    ups = []
+    for d in deep:
+        u = FO.upsample2_folded(d)
+        ups.append(u.with_data(u.data * fm.data))
+    return [x, *ups]
+
+
+def _encoder_layer(params, stats, groups, fm):
+    x = FO.subm_conv_folded(groups, fm, params["p1"],
+                            params["p1"].shape[-1])
+    x = _resblock(params["p2"], stats["p2"], x, fm)
+    y = _bn_groups(params["p2_bn"], stats["p2_bn"], [x], fm)[0]
+    down = FO.strided_conv_folded([y], params["p3"], params["p3"].shape[-1])
+    down_fm = FO.mask_down_folded(fm)
+    down = down.with_data(down.data * down_fm.data)
+    z = _bn_groups(params["p3_bn"], stats["p3_bn"], [down], down_fm)[0]
+    return z, down_fm, (y, fm)
+
+
+def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
+                          *, num_refine_active: int, do_surf: bool):
+    """Inference forward in the folded layout. Output contract matches
+    genmodel_apply_dense (a DenseFlowOutput of unfolded arrays)."""
+    dt = jnp.dtype(cfg.compute_dtype)
+    Z, Y, X = st.spatial_size
+    B = st.batch_size
+
+    fg, fm = FO.scatter_sparse(
+        st.locs, st.feats, st.num_valid, st.spatial_size, B,
+        cpad=CPAD, dtype=dt,
+    )
+
+    # ---- encoder sparse levels (folded)
+    skips = []
+    x, m = fg, fm
+    for lvl in range(len(cfg.nf_per_level)):
+        x, m, ft2 = _encoder_layer(
+            params["encoder"]["process_sparse"][lvl],
+            stats["encoder"]["process_sparse"][lvl], [x], m,
+        )
+        skips.append(ft2)
+    skips.append((x, m))  # ft3 at 1/8 res
+
+    # ---- coarse dense trunk (1/8 res): unfold once, run the shared XLA
+    # trunk, fold the results back — all cheap at this volume
+    x8 = FO.unfold(x)
+    y, coarse_out, _ = dense_trunk(
+        params["encoder"], stats["encoder"], cfg, x8,
+        training=False, axis_name=None,
+    )
+
+    cur_mask_dense = jax.nn.sigmoid(coarse_out[..., 0]) > 0.5
+    cur_fm = FO.fold_mask(cur_mask_dense, CPAD, dt)
+    cur = []
+    if cfg.pass_occ:
+        o = FO.fold(coarse_out.astype(dt), CPAD)
+        cur.append(o.with_data(o.data * cur_fm.data))
+    if cfg.pass_feats:
+        f = FO.fold(y, CPAD)
+        cur.append(f.with_data(f.data * cur_fm.data))
+
+    # ---- refinement levels
+    L_ref = cfg.num_refine_levels
+    ref_outs = []
+    ref_masks = []
+
+    def refine_level(p, st_h, cur, cur_fm):
+        z = FO.subm_conv_folded(cur, cur_fm, p["p1"], p["p1"].shape[-1])
+        zg = _unet(p["p2"], st_h["p2"], z, cur_fm)
+        zg = _bn_groups(p["p3"], st_h["p3"], zg, cur_fm)
+        # generative 2x upsample + n1 conv: conv3(nn_up(z)) — z is zero off
+        # cur_fm so the upsampled grid is zero off the unfiltered mask
+        fm_unfilt = FO.upsample2_folded(cur_fm)
+        ups = [FO.upsample2_folded(g) for g in zg]
+        up = FO.subm_conv_folded(ups, fm_unfilt, p["n1"],
+                                 p["n1"].shape[-1])
+        up = _bn_groups(p["n2"], st_h["n2"], [up], fm_unfilt)[0]
+        w2 = jnp.concatenate(
+            [p["linear"]["weight"], p["linearsdf"]["weight"]], axis=1
+        )
+        b2 = jnp.concatenate([p["linear"]["bias"], p["linearsdf"]["bias"]])
+        out2 = FO.linear_folded(up, w2, b2)  # f32, occ = channel 0
+        new_fm = FO.occ_mask_folded(out2, dtype=dt)
+        new_fm = new_fm.with_data(new_fm.data * fm_unfilt.data)
+        nxt = []
+        if cfg.pass_feats:
+            nxt.append(up.with_data(up.data * new_fm.data))
+        if cfg.pass_occ:
+            o = out2.with_data(out2.data.astype(dt) * new_fm.data)
+            nxt.append(o)
+        return nxt, new_fm, out2, fm_unfilt
+
+    for h in range(num_refine_active):
+        p = params["refinement"][h]
+        st_h = stats["refinement"][h]
+        if cfg.use_skip_sparse:
+            sk, _sk_fm = skips[L_ref - h]
+            cur = [*cur, sk.with_data(sk.data * cur_fm.data)]
+        cur, cur_fm, out2, fm_unfilt = refine_level(p, st_h, cur, cur_fm)
+        ref_outs.append(FO.unfold(out2).astype(jnp.float32))
+        ref_masks.append(FO.unfold(fm_unfilt)[..., 0] > 0.5)
+
+    # ---- surface prediction
+    if do_surf and num_refine_active == L_ref:
+        p = params["surfacepred"]
+        st_s = stats["surfacepred"]
+        if cfg.use_skip_sparse:
+            sk, _sk_fm = skips[0]
+            cur = [*cur, sk.with_data(sk.data * cur_fm.data)]
+        z = FO.subm_conv_folded(cur, cur_fm, p["p1"], p["p1"].shape[-1])
+        zg = _unet(p["p2"], st_s["p2"], z, cur_fm)
+        zg = _bn_groups(p["p3"], st_s["p3"], zg, cur_fm)
+        surf_fg = None
+        off = 0
+        for g in zg:
+            c = g.real_c
+            o = FO.linear_folded(
+                g, p["linear"]["weight"][off:off + c], None
+            )
+            surf_fg = o if surf_fg is None else surf_fg.with_data(
+                surf_fg.data + o.data
+            )
+            off += c
+        surf_fg = surf_fg.with_data(
+            surf_fg.data + jnp.tile(
+                jnp.zeros((CPAD,), jnp.float32).at[:1].set(
+                    p["linear"]["bias"].astype(jnp.float32)
+                ),
+                FO.LANES // CPAD,
+            )
+        )
+        surf = FO.unfold(surf_fg)[..., 0]
+        surf_mask = FO.unfold(cur_fm)[..., 0] > 0.5
+    else:
+        surf = jnp.zeros((B, Z, Y, X), jnp.float32)
+        surf_mask = jnp.zeros((B, Z, Y, X), jnp.bool_)
+
+    return DenseFlowOutput(
+        coarse_out=coarse_out,
+        refine_outs=ref_outs,
+        refine_masks_unfilt=ref_masks,
+        surf_sdf=surf,
+        surf_mask=surf_mask,
+    )

@@ -1,0 +1,461 @@
+"""Folded (lane-dense) grid representation and ops.
+
+THE core TPU layout decision of this framework. XLA:TPU tiles a
+channels-last [B, Z, Y, X, C] array with C in the 128-lane minor
+dimension; for SG-NN's narrow channels (C = 1..16) that physically
+inflates every buffer 8-128x and makes every elementwise pass and layout
+copy pay the inflation (measured in round 2: a whole-scene forward spent
+~200 ms in elementwise fusions + 50 ms in layout copies that are ~0.5 ms
+of real bandwidth). The fix is representational: fold F = 128/C voxels
+along x into the lane dimension,
+
+    fgrid [B, Z+2, Y+2, xq, 128]     lane l = xi * cpad + c
+
+so every vector register is fully dense. All ops below stay in this
+layout end-to-end:
+
+  * 3^3 submanifold convs run in the lane-folded Pallas kernel
+    (ops/pallas/conv3d_folded.py), whose operands/results are this exact
+    layout — zero boundary relayouts.
+  * stride-2 convs, 2x upsampling, channel-mixing linears, and occupancy
+    broadcasts are LANE-ALGEBRA: constant 0/1 (or weight-derived) 128- or
+    256-wide matrices applied on the MXU, plus leading-dim (z, y) slicing
+    that costs only address arithmetic.
+  * batch norm reduces to [128] lane moments folded to [C] by a reshape.
+
+Conventions:
+  * cpad in {8, 16, 32} is the per-voxel lane budget; real_c <= cpad
+    channels are live, dead lanes are kept at 0.0 by construction.
+  * a one-voxel zero HALO ring in z and y is part of the buffer (so the
+    conv kernel never needs an XLA-side pad), and the x-block dim is
+    padded to xq = roundup(ceil(X/F), 8) with zero tail blocks. Every op
+    here preserves halo/tail/dead-lane zeros.
+  * masks are FGrids too, with the voxel's 0/1 value replicated across
+    its cpad lanes (so data * mask.data needs no lane arithmetic).
+
+The reference has no counterpart — this replaces SparseConvNet's
+coordinate-list machinery (/root/reference/torch/model.py:7) with a
+formulation the TPU vector/matrix units execute at full width.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LANES = 128
+
+
+def _round_up(v, m):
+    return ((v + m - 1) // m) * m
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("data",),
+    meta_fields=("dims", "real_c", "cpad"),
+)
+@dataclasses.dataclass
+class FGrid:
+    """A folded grid. data [B, Z+2, Y+2, xq, 128]; see module docstring."""
+    data: jax.Array
+    dims: tuple  # logical (Z, Y, X)
+    real_c: int
+    cpad: int
+
+    @property
+    def fold(self):
+        return LANES // self.cpad
+
+    @property
+    def xb(self):
+        return -(-self.dims[2] // self.fold)  # ceil
+
+    @property
+    def batch(self):
+        return self.data.shape[0]
+
+    def with_data(self, data):
+        return FGrid(data, self.dims, self.real_c, self.cpad)
+
+
+def _xq_for(X, cpad):
+    return _round_up(-(-X // (LANES // cpad)), 8)
+
+
+# ------------------------------------------------------------ fold / unfold
+
+
+def fold(dense: jax.Array, cpad: int = 16) -> FGrid:
+    """[B, Z, Y, X, C] -> FGrid (adds halo, x tail, dead lanes)."""
+    B, Z, Y, X, C = dense.shape
+    F = LANES // cpad
+    xb = -(-X // F)
+    xq = _xq_for(X, cpad)
+    x = dense
+    if C < cpad:
+        x = jnp.pad(x, ((0, 0),) * 4 + ((0, cpad - C),))
+    if xb * F > X:
+        x = jnp.pad(x, ((0, 0),) * 3 + ((0, xb * F - X), (0, 0)))
+    d = x.reshape(B, Z, Y, xb, LANES)
+    d = jnp.pad(d, ((0, 0), (1, 1), (1, 1), (0, xq - xb), (0, 0)))
+    return FGrid(d, (Z, Y, X), C, cpad)
+
+
+def unfold(fg: FGrid) -> jax.Array:
+    """FGrid -> [B, Z, Y, X, real_c]."""
+    Z, Y, X = fg.dims
+    B = fg.batch
+    d = fg.data[:, 1:Z + 1, 1:Y + 1, :fg.xb]
+    d = d.reshape(B, Z, Y, fg.xb * fg.fold, fg.cpad)
+    return d[:, :, :, :X, :fg.real_c]
+
+
+def fold_mask(mask: jax.Array, cpad: int = 16, dtype=jnp.bfloat16) -> FGrid:
+    """[B, Z, Y, X] bool -> 0/1 FGrid replicated across each voxel's lanes."""
+    m = jnp.broadcast_to(
+        mask[..., None].astype(dtype), (*mask.shape, cpad)
+    )
+    return fold(m, cpad)
+
+
+def scatter_sparse(
+    locs: jax.Array,     # [cap, 4] zyxb, -1 padded
+    feats: jax.Array,    # [cap, Cin]
+    num_valid: jax.Array,
+    dims: tuple,         # (Z, Y, X)
+    batch_size: int,
+    cpad: int = 16,
+    dtype=jnp.bfloat16,
+) -> tuple[FGrid, FGrid]:
+    """Sparse rows -> (feature FGrid, mask FGrid) with ONE scatter each.
+
+    Replaces sparse_to_dense + fold (the input boundary of the folded
+    execution; the reference's scn.InputLayer, model.py:31).
+    """
+    Z, Y, X = dims
+    F = LANES // cpad
+    xq = _xq_for(X, cpad)
+    B = batch_size
+    cap, Cin = feats.shape
+    z, y, x, b = locs[:, 0], locs[:, 1], locs[:, 2], locs[:, 3]
+    valid = jnp.arange(cap) < num_valid
+    # one update per row (input voxels are unique): XLA lowers scatter via
+    # sort, so keep the update count at cap, not cap * lanes
+    slot = (((b * (Z + 2) + z + 1) * (Y + 2) + y + 1) * xq + x // F) * F \
+        + x % F
+    slot = jnp.where(valid, slot, jnp.int32(-(1 << 30)))
+    nslots = B * (Z + 2) * (Y + 2) * xq * F
+    flat = jnp.zeros((nslots, Cin), dtype)
+    flat = flat.at[slot].set(
+        feats.astype(dtype), mode="drop", unique_indices=True
+    )
+    # lane l = slot_in_block * cpad + c: channels first within a voxel,
+    # then pad dead channel lanes
+    fx = flat.reshape(B, Z + 2, Y + 2, xq, F, Cin)
+    if Cin < cpad:
+        fx = jnp.pad(fx, ((0, 0),) * 5 + ((0, cpad - Cin),))
+    data = fx.reshape(B, Z + 2, Y + 2, xq, LANES)
+    mflat = jnp.zeros((nslots,), dtype)
+    mflat = mflat.at[slot].set(1.0, mode="drop", unique_indices=True)
+    mdata = jnp.repeat(
+        mflat.reshape(B, Z + 2, Y + 2, xq, F), cpad, axis=-1
+    )
+    return (
+        FGrid(data, dims, Cin, cpad),
+        FGrid(mdata, dims, cpad, cpad),
+    )
+
+
+# -------------------------------------------------------- constant matrices
+
+
+@lru_cache(maxsize=None)
+def _dup_matrix(cpad: int) -> np.ndarray:
+    """[128, 256]: coarse slot s -> fine pair-offsets 2s, 2s+1 (x-double)."""
+    F = LANES // cpad
+    M = np.zeros((LANES, 2 * LANES), np.float32)
+    for s in range(F):
+        for c in range(cpad):
+            for px in (0, 1):
+                o = 2 * s + px
+                M[s * cpad + c, (o // F) * LANES + (o % F) * cpad + c] = 1
+    return M
+
+
+@lru_cache(maxsize=None)
+def _occ_replicate(cpad: int) -> np.ndarray:
+    """[128, 128]: lane (s, 0) broadcast to lanes (s, *)."""
+    F = LANES // cpad
+    M = np.zeros((LANES, LANES), np.float32)
+    for s in range(F):
+        for c in range(cpad):
+            M[s * cpad, s * cpad + c] = 1
+    return M
+
+
+@lru_cache(maxsize=None)
+def _mask_down_matrix(cpad: int) -> np.ndarray:
+    """[256, 128]: fine pair-offset o -> coarse slot o//2 (any lane of the
+    voxel -> all lanes of the coarse voxel). Used with clamp for maxpool2
+    of 0/1 masks."""
+    F = LANES // cpad
+    M = np.zeros((2 * LANES, LANES), np.float32)
+    for o in range(2 * F):
+        i = o // 2
+        for c in range(cpad):
+            for c2 in range(cpad):
+                M[(o // F) * LANES + (o % F) * cpad + c, i * cpad + c2] = 1
+    return M
+
+
+def _linear_tile(W: jax.Array, cpad: int, cout: int) -> jax.Array:
+    """[Cin, Cout] -> [128, 128] block-diagonal over fold slots."""
+    F = LANES // cpad
+    cin = W.shape[0]
+    base = jnp.zeros((cpad, cpad), jnp.float32)
+    base = base.at[:cin, :cout].set(W.astype(jnp.float32))
+    return jax.scipy.linalg.block_diag(*([base] * F))
+
+
+def _strided_w(w8: jax.Array, cpad: int, cin_off: int, cin_g: int,
+               cout: int) -> jax.Array:
+    """w8 [8, Cin_total, Cout] tap block (dz, dy) x-pair matrices:
+    returns [2, 2, 256, 128] mapping fine pair lanes -> coarse lanes."""
+    F = LANES // cpad
+    w = w8[:, cin_off:cin_off + cin_g, :].astype(jnp.float32)
+    out = jnp.zeros((2, 2, 2 * LANES, LANES), jnp.float32)
+    for dz in range(2):
+        for dy in range(2):
+            for dx in range(2):
+                tap = dz * 4 + dy * 2 + dx
+                for i in range(F):
+                    o = 2 * i + dx
+                    r0 = (o // F) * LANES + (o % F) * cpad
+                    out = out.at[
+                        dz, dy, r0:r0 + cin_g, i * cpad:i * cpad + cout
+                    ].set(w[tap])
+    return out
+
+
+# ------------------------------------------------------------- grid algebra
+
+
+def _rehalo(interior: jax.Array, xq: int) -> jax.Array:
+    """[B, Z, Y, xb', 128] -> halo-padded [B, Z+2, Y+2, xq, 128]."""
+    pad_x = xq - interior.shape[3]
+    return jnp.pad(
+        interior, ((0, 0), (1, 1), (1, 1), (0, pad_x), (0, 0))
+    )
+
+
+def _pairs(x: jax.Array) -> jax.Array:
+    """[..., n, 128] -> [..., n//2, 256] merging consecutive x-blocks."""
+    s = x.shape
+    return x.reshape(*s[:-2], s[-2] // 2, 2 * LANES)
+
+
+def _unpairs(x: jax.Array) -> jax.Array:
+    s = x.shape
+    return x.reshape(*s[:-2], s[-2] * 2, LANES)
+
+
+def mask_and(a: FGrid, b: FGrid) -> FGrid:
+    return a.with_data(a.data * b.data)
+
+
+def strided_conv_folded(groups: list, w8: jax.Array, cout: int) -> FGrid:
+    """Stride-2 2^3 convolution of grouped FGrids -> coarse FGrid.
+
+    z/y taps+stride are leading-dim strided slices; the x tap+stride is a
+    [256 -> 128] lane matrix on merged fine block pairs (all MXU work).
+    Matches ops/conv.py:strided_conv3d_down semantics (scn.Convolution
+    (2, 2), /root/reference/torch/model.py:44).
+    """
+    fg0 = groups[0]
+    Z, Y, X = fg0.dims
+    Zc, Yc, Xc = Z // 2, Y // 2, X // 2
+    cpad = fg0.cpad
+    xqc = _xq_for(Xc, cpad)
+    acc = None
+    off = 0
+    for fg in groups:
+        dt = fg.data.dtype
+        for dz in range(2):
+            for dy in range(2):
+                sl = fg.data[
+                    :, 1 + dz:1 + dz + 2 * Zc:2, 1 + dy:1 + dy + 2 * Yc:2
+                ]
+                p = _pairs(sl)  # [B, Zc, Yc, xq/2, 256]
+                W = _strided_w(w8, cpad, off, fg.real_c, cout)[dz, dy]
+                y = jax.lax.dot_general(
+                    p, W.astype(dt),
+                    dimension_numbers=(((4,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = y if acc is None else acc + y
+        off += fg.real_c
+    acc = acc.astype(groups[0].data.dtype)
+    nb = acc.shape[3]
+    if nb < xqc:
+        acc = jnp.pad(acc, ((0, 0),) * 3 + ((0, xqc - nb), (0, 0)))
+    elif nb > xqc:
+        acc = acc[:, :, :, :xqc]
+    return FGrid(_rehalo(acc, xqc), (Zc, Yc, Xc), cout, cpad)
+
+
+def mask_down_folded(fm: FGrid) -> FGrid:
+    """maxpool2 of a 0/1 mask FGrid (any active child -> active parent)."""
+    Z, Y, X = fm.dims
+    Zc, Yc, Xc = Z // 2, Y // 2, X // 2
+    cpad = fm.cpad
+    xqc = _xq_for(Xc, cpad)
+    M = jnp.asarray(_mask_down_matrix(cpad), fm.data.dtype)
+    acc = None
+    for dz in range(2):
+        for dy in range(2):
+            sl = fm.data[
+                :, 1 + dz:1 + dz + 2 * Zc:2, 1 + dy:1 + dy + 2 * Yc:2
+            ]
+            y = jax.lax.dot_general(
+                _pairs(sl), M,
+                dimension_numbers=(((4,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = y if acc is None else acc + y
+    acc = jnp.minimum(acc, 1.0).astype(fm.data.dtype)
+    nb = acc.shape[3]
+    if nb < xqc:
+        acc = jnp.pad(acc, ((0, 0),) * 3 + ((0, xqc - nb), (0, 0)))
+    elif nb > xqc:
+        acc = acc[:, :, :, :xqc]
+    return FGrid(_rehalo(acc, xqc), (Zc, Yc, Xc), cpad, cpad)
+
+
+def upsample2_folded(fg: FGrid) -> FGrid:
+    """2x nearest-neighbor upsample (z/y: leading repeats; x: lane dup)."""
+    Z, Y, X = fg.dims
+    Zf, Yf, Xf = Z * 2, Y * 2, X * 2
+    cpad = fg.cpad
+    xqf = _xq_for(Xf, cpad)
+    i = fg.data[:, 1:Z + 1, 1:Y + 1]
+    D = jnp.asarray(_dup_matrix(cpad), fg.data.dtype)
+    y = jax.lax.dot_general(
+        i, D, dimension_numbers=(((4,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(fg.data.dtype)
+    y = _unpairs(y)  # [B, Z, Y, 2 xq, 128]
+    y = jnp.repeat(y, 2, axis=1)
+    y = jnp.repeat(y, 2, axis=2)
+    if y.shape[3] > xqf:
+        y = y[:, :, :, :xqf]
+    return FGrid(_rehalo(y, xqf), (Zf, Yf, Xf), fg.real_c, cpad)
+
+
+def linear_folded(fg: FGrid, W: jax.Array, b: jax.Array | None,
+                  out_dtype=jnp.float32) -> FGrid:
+    """Per-voxel channel mix: concat-groups handled by the caller summing.
+    W [Cin, Cout]; output FGrid with real_c=Cout (dead lanes zero)."""
+    cout = W.shape[1]
+    Wt = _linear_tile(W, fg.cpad, cout).astype(fg.data.dtype)
+    y = jax.lax.dot_general(
+        fg.data, Wt, dimension_numbers=(((4,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
+    if b is not None:
+        F = LANES // fg.cpad
+        bl = jnp.zeros((fg.cpad,), jnp.float32).at[:cout].set(
+            b.astype(jnp.float32)
+        )
+        bt = jnp.tile(bl, F).astype(out_dtype)
+        # keep halo/dead zeros: bias only lands where we later mask; the
+        # caller MUST mask the result (heads always are)
+        y = y + bt
+    return FGrid(y, fg.dims, cout, fg.cpad)
+
+
+def subm_conv_folded(groups: list, fm: FGrid, w27: jax.Array,
+                     cout: int) -> FGrid:
+    """Submanifold 3^3 conv of grouped FGrids: per-group lane-folded Pallas
+    kernels summed, then one fused re-halo + mask multiply."""
+    from sgnn_tpu.ops.pallas.conv3d_folded import conv_folded_raw
+
+    acc = None
+    off = 0
+    for fg in groups:
+        y = conv_folded_raw(
+            fg.data, w27[:, off:off + fg.real_c, :].astype(fg.data.dtype),
+            fg.cpad, fg.dims,
+        )
+        acc = y if acc is None else acc + y
+        off += fg.real_c
+    assert off == w27.shape[1], (off, w27.shape)
+    fg0 = groups[0]
+    out = _rehalo(acc, fg0.data.shape[3]) * fm.data
+    return FGrid(out, fg0.dims, cout, fg0.cpad)
+
+
+def occ_mask_folded(out_fg: FGrid, dtype=jnp.bfloat16) -> FGrid:
+    """sigmoid(occ) > 0.5 as a replicated 0/1 mask FGrid; occ is channel 0
+    of out_fg (model.py:233: the pruning criterion)."""
+    R = jnp.asarray(_occ_replicate(out_fg.cpad), out_fg.data.dtype)
+    logits = jax.lax.dot_general(
+        out_fg.data, R, dimension_numbers=(((4,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dead lanes of out_fg are 0 -> logits 0; halo likewise. Strict >
+    # keeps zeros inactive (sigmoid(x) > 0.5 <=> x > 0).
+    m = (logits > 0.0).astype(dtype)
+    return FGrid(m, out_fg.dims, out_fg.cpad, out_fg.cpad)
+
+
+def bn_folded(params: dict, stats: dict, fg: FGrid, fm: FGrid, *,
+              training: bool, relu: bool = True, eps: float = 1e-4,
+              momentum: float = 0.9, axis_name=None) -> tuple[FGrid, dict]:
+    """Masked batch norm in folded layout (ops/bn.py semantics)."""
+    C = fg.real_c
+    cpad = fg.cpad
+    F = LANES // cpad
+
+    def tile(vec, fill=0.0):
+        v = jnp.full((cpad,), fill, jnp.float32).at[:C].set(
+            vec.astype(jnp.float32)
+        )
+        return jnp.tile(v, F)
+
+    if training:
+        xf = fg.data.astype(jnp.float32) * fm.data.astype(jnp.float32)
+        s = jnp.sum(xf, axis=(0, 1, 2, 3))            # [128]
+        sq = jnp.sum(xf * xf, axis=(0, 1, 2, 3))
+        cnt = jnp.sum(fm.data.astype(jnp.float32)) / cpad
+        if axis_name is not None:
+            s = jax.lax.psum(s, axis_name)
+            sq = jax.lax.psum(sq, axis_name)
+            cnt = jax.lax.psum(cnt, axis_name)
+        cnt = jnp.maximum(cnt, 1.0)
+        mean_c = (s.reshape(F, cpad).sum(0) / cnt)[:C]
+        var_c = jnp.maximum(
+            (sq.reshape(F, cpad).sum(0) / cnt)[:C] - mean_c * mean_c, 0.0
+        )
+        unbiased = var_c * (cnt / jnp.maximum(cnt - 1.0, 1.0))
+        new_stats = {
+            "mean": momentum * stats["mean"] + (1 - momentum) * mean_c,
+            "var": momentum * stats["var"] + (1 - momentum) * unbiased,
+        }
+        mean, var = mean_c, var_c
+    else:
+        mean, var = stats["mean"][:C], stats["var"][:C]
+        new_stats = stats
+    inv = jax.lax.rsqrt(var + eps) * params["scale"][:C]
+    mean_t = tile(mean)
+    inv_t = tile(inv)
+    bias_t = tile(params["bias"][:C])
+    y = (fg.data.astype(jnp.float32) - mean_t) * inv_t + bias_t
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    y = y.astype(fg.data.dtype) * fm.data
+    return fg.with_data(y), new_stats

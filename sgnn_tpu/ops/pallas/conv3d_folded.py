@@ -36,6 +36,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -144,33 +145,23 @@ def _fold_weights(weight27: jax.Array, cin: int, dtype):
     w = weight27.astype(jnp.float32)
     if co < cin:
         w = jnp.pad(w, ((0, 0), (0, 0), (0, cin - co)))
-    wm = jnp.zeros((9, LANES, LANES), jnp.float32)
-    wc = jnp.zeros((9, LANES, LANES), jnp.float32)
-    for dz in range(3):
-        for dy in range(3):
-            k = dz * 3 + dy
-            for dxi, dx in enumerate((-1, 0, 1)):
-                tap = dz * 9 + dy * 3 + dxi
-                for i in range(fold):
-                    j = i + dx  # input slot feeding output slot i
-                    if 0 <= j < fold:
-                        wm = wm.at[
-                            k,
-                            j * cin:(j + 1) * cin,
-                            i * cin:(i + 1) * cin,
-                        ].set(w[tap])
-            # dx=+1 carry: out slot fold-1 consumes next block's slot 0,
-            # whose values sit in carry-lhs lanes 0..cin
-            tap_p = dz * 9 + dy * 3 + 2
-            wc = wc.at[
-                k, 0:cin, (fold - 1) * cin:fold * cin
-            ].set(w[tap_p])
-            # dx=-1 carry: out slot 0 consumes previous block's slot
-            # fold-1, in carry-lhs lanes 128-cin..128
-            tap_m = dz * 9 + dy * 3 + 0
-            wc = wc.at[
-                k, LANES - cin:LANES, 0:cin
-            ].set(w[tap_m])
+    # constant slot-wiring patterns; the traced weights enter via ONE
+    # einsum each (no per-block dynamic-update-slices in the graph: at
+    # ~250 DUS per conv those cost ~10 ms/scene, measured round 2)
+    eye = np.eye(fold, dtype=np.float32)
+    diags = np.stack(  # [3, fold, fold]: D_dx[j, i] = 1 iff j == i + dx
+        [np.diag(np.ones(fold - abs(k), np.float32), k)
+         for k in (1, 0, -1)]  # np.diag k: M[r, r+k]=1 -> j = i - k = i + dx
+    )
+    carry = np.zeros((3, fold, fold), np.float32)
+    carry[2, 0, fold - 1] = 1.0  # dx=+1: next block's slot 0 -> slot F-1
+    carry[0, fold - 1, 0] = 1.0  # dx=-1: prev block's slot F-1 -> slot 0
+    w9 = w.reshape(9, 3, cin, cin)  # [(dz,dy), dx, Cin, Cout]
+    dj = jnp.asarray(diags)
+    cj = jnp.asarray(carry)
+    # block-kron: out[k, j*cin+c, i*cin+c'] = sum_dx D[dx, j, i] * w9[k, dx, c, c']
+    wm = jnp.einsum("dji,kdco->kjcio", dj, w9).reshape(9, LANES, LANES)
+    wc = jnp.einsum("dji,kdco->kjcio", cj, w9).reshape(9, LANES, LANES)
     return wm.astype(dtype), wc.astype(dtype)
 
 
@@ -207,6 +198,47 @@ def _conv_impl(x: jax.Array, weight27: jax.Array) -> jax.Array:
     )(xf, wm, wc)
     y = out[:, :, :, :xb, :].reshape(B, Z, Y, X, C)
     return y[..., :cout]
+
+
+def conv_folded_raw(xf: jax.Array, weight27: jax.Array, cpad: int,
+                    dims: tuple) -> jax.Array:
+    """Folded-I/O entry: xf [B, Z+2, Y+2, xq, 128] (zero halo ring, lane
+    l = xi*cpad + c, dead lanes zero) -> UNPADDED folded output
+    [B, Z, Y, xq, 128]. The caller re-halos fused with its mask multiply.
+
+    weight27 [27, real_cin <= cpad, cout <= cpad]; dead input lanes hit
+    zero weight rows, dead output lanes get zero columns.
+    """
+    B, Zp, Yp, xq, _ = xf.shape
+    Z, Y = Zp - 2, Yp - 2
+    K, cin, cout = weight27.shape
+    assert K == 27 and cin <= cpad and cout <= cpad, (K, cin, cout, cpad)
+    w = weight27
+    if cin < cpad:
+        w = jnp.pad(w, ((0, 0), (0, cpad - cin), (0, 0)))
+    wm, wc = _fold_weights(w, cpad, xf.dtype)
+    tz = _pick_tile(Z, (8, 6, 4, 3, 2, 1))
+    ty = _pick_tile(Y, (16, 12, 8, 6, 4, 3, 2, 1))
+    grid = (B, Z // tz, Y // ty)
+    tile = pltpu.VMEM((2, tz + 2, ty + 2, xq, LANES), xf.dtype)
+    return pl.pallas_call(
+        functools.partial(
+            _kernel, tz=tz, ty=ty, xq=xq, cin=cpad, acc_dtype=jnp.float32
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tz, ty, xq, LANES),
+            lambda b, i, j: (b, i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Z, Y, xq, LANES), xf.dtype),
+        scratch_shapes=[tile, pltpu.SemaphoreType.DMA((2,))],
+    )(xf, wm, wc)
 
 
 def _xla_conv(x, weight27):

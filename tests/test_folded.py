@@ -1,0 +1,202 @@
+"""Folded (lane-dense) grid ops vs dense oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sgnn_tpu.ops import folded as FO
+from sgnn_tpu.ops import bn as BN
+from sgnn_tpu.ops import dense as D
+
+
+def _rand_grid(rng, B, Z, Y, X, C, dtype=np.float32):
+    return rng.randn(B, Z, Y, X, C).astype(dtype)
+
+
+@pytest.mark.parametrize("shape", [(1, 4, 6, 24, 16), (2, 3, 5, 12, 2),
+                                   (1, 2, 2, 20, 8), (1, 4, 4, 30, 16)])
+def test_fold_unfold_roundtrip(rng, shape):
+    x = _rand_grid(rng, *shape)
+    fg = FO.fold(jnp.asarray(x))
+    assert fg.data.shape[3] % 8 == 0
+    np.testing.assert_allclose(np.asarray(FO.unfold(fg)), x)
+    # halo ring and dead lanes are zero
+    d = np.asarray(fg.data)
+    assert (d[:, 0] == 0).all() and (d[:, -1] == 0).all()
+    assert (d[:, :, 0] == 0).all() and (d[:, :, -1] == 0).all()
+
+
+def test_scatter_sparse_matches_fold(rng):
+    B, Z, Y, X, C = 2, 4, 6, 24, 3
+    n, cap = 37, 64
+    locs = np.stack([
+        rng.randint(0, Z, n), rng.randint(0, Y, n),
+        rng.randint(0, X, n), rng.randint(0, B, n),
+    ], -1).astype(np.int32)
+    locs = np.unique(locs, axis=0)
+    n = len(locs)
+    pad = np.full((cap - n, 4), -1, np.int32)
+    locs_p = np.concatenate([locs, pad])
+    feats = np.zeros((cap, C), np.float32)
+    feats[:n] = rng.randn(n, C)
+    fg, fm = FO.scatter_sparse(
+        jnp.asarray(locs_p), jnp.asarray(feats), jnp.int32(n),
+        (Z, Y, X), B, dtype=jnp.float32,
+    )
+    dense = np.zeros((B, Z, Y, X, C), np.float32)
+    mask = np.zeros((B, Z, Y, X), bool)
+    dense[locs[:, 3], locs[:, 0], locs[:, 1], locs[:, 2]] = feats[:n]
+    mask[locs[:, 3], locs[:, 0], locs[:, 1], locs[:, 2]] = True
+    np.testing.assert_allclose(np.asarray(FO.unfold(fg)), dense)
+    ref_m = FO.fold_mask(jnp.asarray(mask), dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(fm.data), np.asarray(ref_m.data))
+
+
+def test_strided_conv_folded(rng):
+    B, Z, Y, X = 1, 4, 6, 20
+    cin, cout = 5, 16
+    x = _rand_grid(rng, B, Z, Y, X, cin)
+    w8 = rng.randn(8, cin, cout).astype(np.float32) * 0.3
+    fg = FO.fold(jnp.asarray(x))
+    out = FO.strided_conv_folded([fg], jnp.asarray(w8), cout)
+    got = np.asarray(FO.unfold(out))
+    w = jnp.asarray(w8).reshape(2, 2, 2, cin, cout)
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(x), w, window_strides=(2, 2, 2), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_strided_conv_folded_groups(rng):
+    B, Z, Y, X = 1, 4, 4, 16
+    x1 = _rand_grid(rng, B, Z, Y, X, 16)
+    x2 = _rand_grid(rng, B, Z, Y, X, 2)
+    w8 = rng.randn(8, 18, 8).astype(np.float32) * 0.3
+    out = FO.strided_conv_folded(
+        [FO.fold(jnp.asarray(x1)), FO.fold(jnp.asarray(x2))],
+        jnp.asarray(w8), 8,
+    )
+    cat = jnp.concatenate([jnp.asarray(x1), jnp.asarray(x2)], -1)
+    ref = jax.lax.conv_general_dilated(
+        cat, jnp.asarray(w8).reshape(2, 2, 2, 18, 8),
+        window_strides=(2, 2, 2), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    np.testing.assert_allclose(
+        np.asarray(FO.unfold(out)), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_mask_down_folded(rng):
+    B, Z, Y, X = 2, 4, 6, 20
+    mask = rng.rand(B, Z, Y, X) > 0.6
+    fm = FO.fold_mask(jnp.asarray(mask), dtype=jnp.float32)
+    got = FO.unfold(FO.mask_down_folded(fm))
+    ref = np.asarray(D.max_pool3d(jnp.asarray(mask.astype(np.int8)))) > 0
+    np.testing.assert_array_equal(
+        np.asarray(got)[..., 0] > 0.5, ref
+    )
+    # replicated across lanes
+    g = np.asarray(got)
+    assert (g == g[..., :1]).all()
+
+
+def test_upsample2_folded(rng):
+    B, Z, Y, X, C = 1, 3, 4, 12, 16
+    x = _rand_grid(rng, B, Z, Y, X, C)
+    got = FO.unfold(FO.upsample2_folded(FO.fold(jnp.asarray(x))))
+    ref = np.repeat(np.repeat(np.repeat(x, 2, 1), 2, 2), 2, 3)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_linear_folded(rng):
+    B, Z, Y, X, C = 1, 2, 3, 20, 16
+    x = _rand_grid(rng, B, Z, Y, X, C)
+    W = rng.randn(C, 2).astype(np.float32) * 0.3
+    b = rng.randn(2).astype(np.float32)
+    out = FO.linear_folded(FO.fold(jnp.asarray(x)), jnp.asarray(W),
+                           jnp.asarray(b))
+    got = np.asarray(FO.unfold(out))
+    ref = x @ W + b
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_occ_mask_folded(rng):
+    B, Z, Y, X = 1, 2, 3, 20
+    out = _rand_grid(rng, B, Z, Y, X, 2)
+    fg = FO.fold(jnp.asarray(out))
+    m = FO.occ_mask_folded(fg, dtype=jnp.float32)
+    got = np.asarray(FO.unfold(m))
+    ref = (out[..., 0] > 0)
+    np.testing.assert_array_equal(got[..., 0] > 0.5, ref)
+    assert (got == got[..., :1]).all()
+
+
+def test_bn_folded(rng):
+    B, Z, Y, X, C = 2, 3, 4, 20, 12
+    x = _rand_grid(rng, B, Z, Y, X, C)
+    mask = rng.rand(B, Z, Y, X) > 0.4
+    xm = x * mask[..., None]
+    params = {"scale": jnp.asarray(rng.rand(C).astype(np.float32) + 0.5),
+              "bias": jnp.asarray(rng.randn(C).astype(np.float32))}
+    stats = {"mean": jnp.asarray(rng.randn(C).astype(np.float32)),
+             "var": jnp.asarray(rng.rand(C).astype(np.float32) + 0.5)}
+    fg = FO.fold(jnp.asarray(xm))
+    fm = FO.fold_mask(jnp.asarray(mask), dtype=jnp.float32)
+    for training in (False, True):
+        got_fg, ns = FO.bn_folded(params, stats, fg, fm, training=training)
+        ref, ns_ref = BN.batch_norm(
+            params, stats, jnp.asarray(xm).reshape(-1, C),
+            jnp.asarray(mask).reshape(-1), training=training, relu=True,
+            eps=1e-4,
+        )
+        got = np.asarray(FO.unfold(got_fg))
+        np.testing.assert_allclose(
+            got, np.asarray(ref).reshape(B, Z, Y, X, C),
+            rtol=1e-4, atol=1e-4, err_msg=f"training={training}",
+        )
+        if training:
+            np.testing.assert_allclose(
+                np.asarray(ns["mean"]), np.asarray(ns_ref["mean"]),
+                rtol=1e-4, atol=1e-5,
+            )
+            np.testing.assert_allclose(
+                np.asarray(ns["var"]), np.asarray(ns_ref["var"]),
+                rtol=1e-4, atol=1e-5,
+            )
+
+
+def test_subm_conv_folded_interpret(rng):
+    """Grouped folded conv (Pallas, interpret mode) vs the XLA conv."""
+    import jax.experimental.pallas as pl
+
+    import sgnn_tpu.ops.pallas.conv3d_folded as PC
+
+    orig = pl.pallas_call
+    PC.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        B, Z, Y, X = 1, 4, 4, 16
+        x1 = _rand_grid(rng, B, Z, Y, X, 16)
+        x2 = _rand_grid(rng, B, Z, Y, X, 2)
+        mask = rng.rand(B, Z, Y, X) > 0.3
+        w27 = rng.randn(27, 18, 16).astype(np.float32) * 0.2
+        fgs = [FO.fold(jnp.asarray(x1 * mask[..., None])),
+               FO.fold(jnp.asarray(x2 * mask[..., None]))]
+        fm = FO.fold_mask(jnp.asarray(mask), dtype=jnp.float32)
+        out = FO.subm_conv_folded(fgs, fm, jnp.asarray(w27), 16)
+        got = np.asarray(FO.unfold(out))
+        cat = jnp.asarray(
+            np.concatenate([x1, x2], -1) * mask[..., None]
+        )
+        ref = jax.lax.conv_general_dilated(
+            cat, jnp.asarray(w27).reshape(3, 3, 3, 18, 16),
+            window_strides=(1, 1, 1), padding=[(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        ) * jnp.asarray(mask[..., None].astype(np.float32))
+        np.testing.assert_allclose(
+            got, np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+    finally:
+        PC.pl.pallas_call = orig

@@ -1,0 +1,119 @@
+"""Folded execution vs the unfolded dense_flow on a full tiny model."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sgnn_tpu.config import SGNNConfig
+from sgnn_tpu.models import dense_flow as DF
+from sgnn_tpu.models import folded_flow as FF
+from sgnn_tpu.models import sgnn as M
+from sgnn_tpu.ops.sparse import make_sparse
+
+
+@pytest.fixture
+def interpret_pallas():
+    import jax.experimental.pallas as pl
+
+    import sgnn_tpu.ops.pallas.conv3d_folded as PC
+
+    orig = pl.pallas_call
+    PC.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    yield
+    PC.pl.pallas_call = orig
+
+
+def _inputs(cfg, seed=3, n=60):
+    rng = np.random.RandomState(seed)
+    Z, Y, X = cfg.input_dim
+    cap = cfg.input_cap
+    flat = rng.choice(Z * Y * X, n, replace=False)
+    z, rem = flat // (Y * X), flat % (Y * X)
+    y, x = rem // X, rem % X
+    locs = np.full((cap, 4), -1, np.int32)
+    locs[:n] = np.stack([z, y, x, np.zeros_like(z)], -1)
+    feats = np.zeros((cap, 1), np.float32)
+    feats[:n, 0] = rng.randn(n)
+    return make_sparse(locs, feats, n, cfg.input_dim, 1)
+
+
+def test_folded_matches_dense_flow(rng, interpret_pallas):
+    cfg = SGNNConfig(
+        encoder_dim=8,
+        input_dim=(16, 16, 32),
+        nf_coarse=16,
+        nf=16,
+        num_hierarchy_levels=3,
+        batch_size=1,
+        execution="dense_flow",
+        compute_dtype="float32",
+        occupancy_fractions=(1.0, 1.0, 1.0),
+    )
+    params, stats = M.genmodel_init(jax.random.PRNGKey(1), cfg)
+    st = _inputs(cfg)
+
+    ref, _ = DF.genmodel_apply_dense(
+        params, stats, cfg, st,
+        num_refine_active=cfg.num_refine_levels, do_surf=True,
+        training=False,
+    )
+    got = FF.genmodel_apply_folded(
+        params, stats, cfg, st,
+        num_refine_active=cfg.num_refine_levels, do_surf=True,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(got.coarse_out), np.asarray(ref.coarse_out),
+        rtol=1e-4, atol=1e-4,
+    )
+    for h, (a, b) in enumerate(zip(got.refine_outs, ref.refine_outs)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+            err_msg=f"refine level {h}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.refine_masks_unfilt[h]),
+            np.asarray(ref.refine_masks_unfilt[h]),
+            err_msg=f"refine mask {h}",
+        )
+    np.testing.assert_array_equal(
+        np.asarray(got.surf_mask), np.asarray(ref.surf_mask)
+    )
+    m = np.asarray(ref.surf_mask)
+    np.testing.assert_allclose(
+        np.asarray(got.surf_sdf)[m], np.asarray(ref.surf_sdf)[m],
+        rtol=2e-3, atol=2e-3,
+    )
+
+
+def test_folded_partial_levels(rng, interpret_pallas):
+    """Level gating (num_refine_active < L, no surf) matches."""
+    cfg = SGNNConfig(
+        encoder_dim=4,
+        input_dim=(16, 16, 16),
+        nf_coarse=8,
+        nf=16,
+        num_hierarchy_levels=3,
+        batch_size=1,
+        execution="dense_flow",
+        compute_dtype="float32",
+        occupancy_fractions=(1.0, 1.0, 1.0),
+    )
+    params, stats = M.genmodel_init(jax.random.PRNGKey(2), cfg)
+    st = _inputs(cfg, seed=5, n=40)
+    ref, _ = DF.genmodel_apply_dense(
+        params, stats, cfg, st, num_refine_active=1, do_surf=False,
+        training=False,
+    )
+    got = FF.genmodel_apply_folded(
+        params, stats, cfg, st, num_refine_active=1, do_surf=False,
+    )
+    assert len(got.refine_outs) == 1
+    np.testing.assert_allclose(
+        np.asarray(got.refine_outs[0]), np.asarray(ref.refine_outs[0]),
+        rtol=2e-3, atol=2e-3,
+    )
+    assert not np.asarray(got.surf_mask).any()
