@@ -249,16 +249,48 @@ def expected_state_dict_spec(cfg):
     return spec
 
 
-def load_reference_checkpoint(path, cfg):
-    """torch.load a reference .pth and convert. Returns (params, stats, meta)."""
+def flip_tap_order(params):
+    """Reverse the filter-tap enumeration of every sparse-conv weight.
+
+    SparseConvNet stores weights [filter_volume, Cin, Cout]; our taps are
+    C-ordered over (z, y, x) (ops/coords.py:neighbor_offsets). If scn
+    enumerates offsets in the reverse convention, the converted weights
+    need a per-axis flip — which for a full C-order enumeration is exactly
+    tap' = K-1-tap, i.e. weight[::-1]. Applied to every [K, Cin, Cout]
+    leaf (K in {8, 27}); dense nn.Conv3d weights (5D torch layout) have a
+    fixed, unambiguous convention and are untouched.
+
+    Certification: tools/evaluate.py --tap_order auto runs one scene under
+    both conventions and reports which is self-consistent (lower SDF L1).
+    """
+    import jax
+
+    def _flip(leaf):
+        a = np.asarray(leaf)
+        if a.ndim == 3 and a.shape[0] in (8, 27):
+            return a[::-1].copy()
+        return leaf
+
+    return jax.tree_util.tree_map(_flip, params)
+
+
+def load_reference_checkpoint(path, cfg, tap_order="c"):
+    """torch.load a reference .pth and convert. Returns (params, stats, meta).
+
+    tap_order: "c" (our native assumption: scn taps C-ordered over
+    (z, y, x)) or "flipped" (reverse enumeration; see flip_tap_order).
+    """
     import jax
     import torch
 
     from sgnn_tpu.models.sgnn import genmodel_init
 
+    assert tap_order in ("c", "flipped"), tap_order
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt["state_dict"] if "state_dict" in ckpt else ckpt
     params, stats = genmodel_init(jax.random.PRNGKey(0), cfg)
     params, stats = convert_state_dict(sd, cfg, params, stats)
+    if tap_order == "flipped":
+        params = flip_tap_order(params)
     meta = {"epoch": int(ckpt.get("epoch", 0))} if isinstance(ckpt, dict) else {}
     return params, stats, meta

@@ -104,3 +104,41 @@ def test_torch_roundtrip(tmp_path, rng):
         params["encoder"]["occpred"],
         sd["encoder.occpred.0.weight"].numpy(),
     )
+
+
+def test_tap_order_flip(tmp_path, rng):
+    """tap_order='flipped' reverses exactly the sparse-conv tap axes and
+    nothing else; applying it twice is the identity."""
+    torch = pytest.importorskip("torch")
+    spec = CC.expected_state_dict_spec(CFG)
+    sd = {k: torch.from_numpy(v) for k, v in _synthetic_sd(rng, spec).items()}
+    p = str(tmp_path / "sgnn.pth")
+    torch.save({"epoch": 0, "state_dict": sd, "optimizer": {}}, p)
+    pc, sc, _ = CC.load_reference_checkpoint(p, CFG, tap_order="c")
+    pf, sf, _ = CC.load_reference_checkpoint(p, CFG, tap_order="flipped")
+
+    flat_c = {"/".join(map(str, k)): v for k, v
+              in jax.tree_util.tree_flatten_with_path(pc)[0]}
+    flat_f = {"/".join(map(str, k)): v for k, v
+              in jax.tree_util.tree_flatten_with_path(pf)[0]}
+    n_flipped = 0
+    for k, vc in flat_c.items():
+        vc = np.asarray(vc)
+        vf = np.asarray(flat_f[k])
+        if vc.ndim == 3 and vc.shape[0] in (8, 27):
+            np.testing.assert_array_equal(vf, vc[::-1], err_msg=k)
+            n_flipped += 1
+        else:
+            np.testing.assert_array_equal(vf, vc, err_msg=k)
+    assert n_flipped > 10  # every subm/strided conv in the model
+    # stats untouched
+    for (ka, va), (kb, vb) in zip(
+        jax.tree_util.tree_flatten_with_path(sc)[0],
+        jax.tree_util.tree_flatten_with_path(sf)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    # involution
+    p2 = CC.flip_tap_order(CC.flip_tap_order(pc))
+    for k, v in {"/".join(map(str, k)): v for k, v
+                 in jax.tree_util.tree_flatten_with_path(p2)[0]}.items():
+        np.testing.assert_array_equal(np.asarray(v), flat_c[k])

@@ -42,6 +42,14 @@ def main():
                    choices=["sparse", "dense_flow"])
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--tap_order", default="c",
+                   choices=["c", "flipped", "auto"],
+                   help="scn filter-tap enumeration convention for .pth "
+                        "conversion. 'auto' certifies it empirically: the "
+                        "first scene is evaluated under both conventions "
+                        "and the self-consistent one (lower SDF L1 at "
+                        "predicted voxels) wins; the verdict is printed "
+                        "and recorded in the output JSON")
     args = p.parse_args()
     if args.cpu:
         import jax
@@ -69,7 +77,6 @@ def main():
         execution=args.execution,
         compute_dtype=args.compute_dtype,
     )
-    params, stats = load_params(args.model_path, cfg)
     files, _ = F.get_train_files(args.input_data_path, args.test_file_list)
     if args.max_scenes:
         files = files[: args.max_scenes]
@@ -78,53 +85,43 @@ def main():
         max_input_height=args.max_input_height,
         target_path=args.target_data_path,
     )
+
+    tap_verdict = None
+    if args.tap_order == "auto":
+        # Certify the scn tap-enumeration convention empirically
+        # (/root/reference/torch/test_scene.py:61-62 checkpoint load): a
+        # wrong tap order scrambles every 3^3/2^3 conv, so the SDF L1 at
+        # predicted voxels degrades by orders of magnitude — evaluate the
+        # first scene under both and keep the self-consistent one.
+        assert args.model_path.endswith(".pth"), (
+            "--tap_order auto certifies reference .pth conversions"
+        )
+        sample0 = ds[0]
+        scores = {}
+        for order in ("c", "flipped"):
+            pp, ss = load_params(args.model_path, cfg, order)
+            inf0 = SceneInferencer(cfg, pp, ss)
+            rec = _eval_scene(inf0, sample0, args)
+            scores[order] = rec["l1_pred"] if rec else float("inf")
+            print(f"[tap-order {order}] l1_pred = {scores[order]}")
+        best = min(scores, key=lambda k: scores[k]
+                   if scores[k] >= 0 else float("inf"))
+        tap_verdict = {
+            "chosen": best, "l1_pred_c": scores["c"],
+            "l1_pred_flipped": scores["flipped"],
+        }
+        print(f"[tap-order] certified: '{best}' "
+              f"(c={scores['c']:.4g}, flipped={scores['flipped']:.4g})")
+        args.tap_order = best
+
+    params, stats = load_params(args.model_path, cfg, args.tap_order)
     inferencer = SceneInferencer(cfg, params, stats)
     per_scene = []
     for i in range(len(ds)):
         sample = ds[i]
-        t0 = time.time()
-        try:
-            r = inferencer(sample)
-        except Exception as e:
-            print(f"exception at {sample['name']}: {e}")
+        rec = _eval_scene(inferencer, sample, args)
+        if rec is None:
             continue
-        dt = time.time() - t0
-        tgt = jnp.asarray(sample["sdf"][None])
-        known = jnp.asarray(sample["known"][None])
-        tgt_clamped = L.preprocess_sdf(tgt, args.truncation)
-        n = len(r["surf_locs"])
-        locs4 = np.concatenate(
-            [r["surf_locs"], np.zeros((n, 1), np.int32)], -1
-        )
-        # pad to a static-ish cap for the jitted metric fns (plain numpy here)
-        l1p = float(
-            L.compute_l1_predsurf_sparse_dense(
-                jnp.asarray(locs4), jnp.int32(n), jnp.asarray(r["surf_sdf"]),
-                tgt_clamped, None, False, True,
-                known >= L.UNK_THRESH,
-            )
-        ) if n else -1.0
-        l1t = float(
-            L.compute_l1_tgtsurf_sparse_dense(
-                jnp.asarray(locs4), jnp.int32(n), jnp.asarray(r["surf_sdf"]),
-                tgt_clamped, args.truncation, True, known,
-            )
-        ) if n else -1.0
-        occ_t = jnp.where(
-            known >= L.UNK_THRESH, L.UNK_ID,
-            (jnp.abs(tgt_clamped) < args.truncation).astype(jnp.float32),
-        )
-        iou = float(
-            L.compute_iou_sparse_dense(
-                jnp.asarray(locs4), jnp.int32(n),
-                jnp.ones((n,), bool), occ_t, True,
-            )
-        ) if n else -1.0
-        rec = {
-            "name": r["name"], "l1_pred": l1p, "l1_tgt": l1t,
-            "iou_surface": iou, "seconds": round(dt, 3),
-            "surf_voxels": n,
-        }
         per_scene.append(rec)
         print(rec)
     agg = {}
@@ -132,9 +129,62 @@ def main():
         vals = [s[k] for s in per_scene if s[k] >= 0]
         agg[k] = float(np.mean(vals)) if vals else -1.0
     out = {"aggregate": agg, "scenes": per_scene}
+    if tap_verdict is not None:
+        out["tap_order"] = tap_verdict
     with open(args.output, "w") as fo:
         json.dump(out, fo, indent=1)
     print("aggregate:", agg)
+
+
+def _eval_scene(inferencer, sample, args):
+    """Metrics for one scene; None on (skipped) failure."""
+    import jax.numpy as jnp
+
+    from sgnn_tpu import losses as L
+
+    t0 = time.time()
+    try:
+        r = inferencer(sample)
+    except Exception as e:
+        print(f"exception at {sample['name']}: {e}")
+        return None
+    dt = time.time() - t0
+    tgt = jnp.asarray(sample["sdf"][None])
+    known = jnp.asarray(sample["known"][None])
+    tgt_clamped = L.preprocess_sdf(tgt, args.truncation)
+    n = len(r["surf_locs"])
+    locs4 = np.concatenate(
+        [r["surf_locs"], np.zeros((n, 1), np.int32)], -1
+    )
+    # pad to a static-ish cap for the jitted metric fns (plain numpy here)
+    l1p = float(
+        L.compute_l1_predsurf_sparse_dense(
+            jnp.asarray(locs4), jnp.int32(n), jnp.asarray(r["surf_sdf"]),
+            tgt_clamped, None, False, True,
+            known >= L.UNK_THRESH,
+        )
+    ) if n else -1.0
+    l1t = float(
+        L.compute_l1_tgtsurf_sparse_dense(
+            jnp.asarray(locs4), jnp.int32(n), jnp.asarray(r["surf_sdf"]),
+            tgt_clamped, args.truncation, True, known,
+        )
+    ) if n else -1.0
+    occ_t = jnp.where(
+        known >= L.UNK_THRESH, L.UNK_ID,
+        (jnp.abs(tgt_clamped) < args.truncation).astype(jnp.float32),
+    )
+    iou = float(
+        L.compute_iou_sparse_dense(
+            jnp.asarray(locs4), jnp.int32(n),
+            jnp.ones((n,), bool), occ_t, True,
+        )
+    ) if n else -1.0
+    return {
+        "name": r["name"], "l1_pred": l1p, "l1_tgt": l1t,
+        "iou_surface": iou, "seconds": round(dt, 3),
+        "surf_voxels": n,
+    }
 
 
 if __name__ == "__main__":

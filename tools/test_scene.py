@@ -55,13 +55,17 @@ def parse_args():
                    choices=["sparse", "dense_flow"])
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--tap_order", default="c", choices=["c", "flipped"],
+                   help="scn filter-tap enumeration convention for .pth "
+                        "conversion; certify with tools/evaluate.py "
+                        "--tap_order auto")
     args = p.parse_args()
     assert not (args.no_pass_feats and args.no_pass_occ)
     assert args.num_hierarchy_levels > 1
     return args
 
 
-def load_params(model_path, cfg):
+def load_params(model_path, cfg, tap_order="c"):
     """Load model weights from a reference .pth or an sgnn_tpu .ckpt."""
     import jax
 
@@ -70,7 +74,9 @@ def load_params(model_path, cfg):
     if model_path.endswith(".pth"):
         from sgnn_tpu.utils.ckpt_convert import load_reference_checkpoint
 
-        params, stats, _ = load_reference_checkpoint(model_path, cfg)
+        params, stats, _ = load_reference_checkpoint(
+            model_path, cfg, tap_order=tap_order
+        )
         return params, stats
     from sgnn_tpu.train.checkpoint import load_checkpoint
     from sgnn_tpu.train.state import create_train_state
@@ -111,7 +117,7 @@ def main():
         execution=args.execution,
         compute_dtype=args.compute_dtype,
     )
-    params, stats = load_params(args.model_path, cfg)
+    params, stats = load_params(args.model_path, cfg, args.tap_order)
     print(f"loaded model: {args.model_path}")
 
     test_files, _ = F.get_train_files(
