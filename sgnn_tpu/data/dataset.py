@@ -191,9 +191,13 @@ class BatchLoader:
     """Shuffling, batching, drop-last, background prefetch.
 
     Replaces torch DataLoader(num_workers=2) (train.py:102) with a thread
-    pool feeding a bounded queue — numpy parsing releases the GIL in
-    frombuffer/IO, and the consumer is a TPU step, so threads suffice
-    without process overhead.
+    pool feeding a bounded, order-preserving queue — numpy parsing releases
+    the GIL in frombuffer/IO, and the consumer is a TPU step, so threads
+    suffice without process overhead.
+
+    ``transform`` (optional) runs on each collated batch INSIDE the worker
+    thread — the hook the trainer uses to move per-device re-collation
+    (parallel/mesh.py:device_batch) off the step critical path.
     """
 
     def __init__(
@@ -206,6 +210,7 @@ class BatchLoader:
         seed: int = 0,
         num_workers: int = 4,
         prefetch: int = 4,
+        transform=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -215,6 +220,7 @@ class BatchLoader:
         self.rng = np.random.RandomState(seed)
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        self.transform = transform
 
     def __len__(self):
         n = len(self.dataset)
@@ -231,30 +237,56 @@ class BatchLoader:
             order[i * self.batch_size : (i + 1) * self.batch_size]
             for i in range(nb)
         ]
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        nw = min(self.num_workers, nb) or 1
         stop = threading.Event()
+        # Order-preserving reassembly: workers claim batch indices from a
+        # shared counter and deposit results in a slot dict; the consumer
+        # drains slots in index order. `credits` bounds how far ahead of
+        # the consumer workers may run (prefetch + in-flight workers).
+        lock = threading.Lock()
+        ready = threading.Condition(lock)
+        slots: dict[int, object] = {}
+        next_claim = [0]
+        credits = threading.Semaphore(self.prefetch + nw)
 
         def worker():
-            try:
-                for idxs in batches:
-                    if stop.is_set():
-                        return
-                    samples = [self.dataset[i] for i in idxs]
-                    q.put(collate(samples, self.input_capacity))
-            except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
-            finally:
-                q.put(None)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
+            while not stop.is_set():
+                credits.acquire()
+                if stop.is_set():
                     return
+                with lock:
+                    i = next_claim[0]
+                    if i >= nb:
+                        return
+                    next_claim[0] = i + 1
+                try:
+                    samples = [self.dataset[j] for j in batches[i]]
+                    item = collate(samples, self.input_capacity)
+                    if self.transform is not None:
+                        item = self.transform(item)
+                except Exception as e:  # surface to the consumer
+                    item = e
+                with ready:
+                    slots[i] = item
+                    ready.notify_all()
+
+        threads = [
+            threading.Thread(target=worker, daemon=True) for _ in range(nw)
+        ]
+        for t in threads:
+            t.start()
+        try:
+            for i in range(nb):
+                with ready:
+                    while i not in slots:
+                        ready.wait()
+                    item = slots.pop(i)
+                credits.release()
                 if isinstance(item, Exception):
                     raise item
                 yield item
         finally:
             stop.set()
+            # unblock any worker parked on the semaphore
+            for _ in threads:
+                credits.release()

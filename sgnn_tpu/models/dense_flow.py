@@ -82,24 +82,36 @@ def _pallas_ok(grid, weight, use_pallas, filter_size):
     return supported(grid.shape, weight.shape)
 
 
-def _conv_one(grid, weight, filter_size, use_pallas):
-    """Dense 3^3 (or f^3) conv of one group. weight [K, Cin_g, Cout]."""
-    if _pallas_ok(grid, weight, use_pallas, filter_size):
-        from sgnn_tpu.ops.pallas.conv3d_folded import conv3d_3x3x3_folded
+def _conv_one(grid, weight, filter_size, use_pallas, sp_axis=None):
+    """Dense 3^3 (or f^3) conv of one group. weight [K, Cin_g, Cout].
 
-        return conv3d_3x3x3_folded(grid, weight.astype(grid.dtype))
+    With ``sp_axis`` (spatial sharding, SURVEY §5's long-context analog)
+    the grid is a local z-slab: boundary planes are exchanged with the
+    neighboring devices over ICI and the conv runs unpadded in z."""
+    if sp_axis is not None and filter_size == 3:
+        from sgnn_tpu.parallel.spatial import halo_exchange
+
+        grid = halo_exchange(grid, 1, sp_axis)
+        pads = [(0, 0), (1, 1), (1, 1)]
+    else:
+        pad = (filter_size - 1) // 2
+        pads = [(pad, pad)] * 3
+        if _pallas_ok(grid, weight, use_pallas, filter_size):
+            from sgnn_tpu.ops.pallas.conv3d_folded import conv3d_3x3x3_folded
+
+            return conv3d_3x3x3_folded(grid, weight.astype(grid.dtype))
     w = weight.reshape(
         filter_size, filter_size, filter_size, *weight.shape[1:]
     ).astype(grid.dtype)
-    pad = (filter_size - 1) // 2
     return jax.lax.conv_general_dilated(
-        grid, w, window_strides=(1, 1, 1), padding=[(pad, pad)] * 3,
+        grid, w, window_strides=(1, 1, 1), padding=pads,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         **D._accum(grid.dtype),
     ).astype(grid.dtype)
 
 
-def _subm_conv(groups, mask, weight, filter_size=3, use_pallas=False):
+def _subm_conv(groups, mask, weight, filter_size=3, use_pallas=False,
+               sp_axis=None):
     """Submanifold conv of a grouped activation: per-group dense convs
     summed, then masked. weight [K, sum(C_i), Cout] -> ONE output grid."""
     assert weight.shape[1] == _gwidth(groups), (
@@ -109,7 +121,8 @@ def _subm_conv(groups, mask, weight, filter_size=3, use_pallas=False):
     off = 0
     for g in groups:
         c = g.shape[-1]
-        yi = _conv_one(g, weight[:, off:off + c, :], filter_size, use_pallas)
+        yi = _conv_one(g, weight[:, off:off + c, :], filter_size, use_pallas,
+                       sp_axis)
         y = yi if y is None else y + yi
         off += c
     return y * mask[..., None].astype(y.dtype)
@@ -135,14 +148,24 @@ def _strided_conv(groups, mask, weight):
     return y * new_mask[..., None].astype(y.dtype), new_mask
 
 
-def _upsampled_conv(groups, weight27):
+def _upsampled_conv(groups, weight27, sp_axis=None):
     """Fused [2x NN upsample -> 3^3 conv] of a grouped activation
-    (ops/dense.py:upsampled_conv3d per group, partial sums added)."""
+    (ops/dense.py:upsampled_conv3d per group, partial sums added).
+
+    Spatially sharded: one coarse halo plane per side supplies the two
+    fine planes the 3^3 conv needs across the slab boundary; the fused op
+    runs on the widened slab and the halo's fine planes are cropped."""
     y = None
     off = 0
     for g in groups:
         c = g.shape[-1]
+        if sp_axis is not None:
+            from sgnn_tpu.parallel.spatial import halo_exchange
+
+            g = halo_exchange(g, 1, sp_axis)
         yi = D.upsampled_conv3d(g, weight27[:, off:off + c, :])
+        if sp_axis is not None:
+            yi = yi[:, 2:-2]
         y = yi if y is None else y + yi
         off += c
     return y
@@ -209,20 +232,22 @@ def _upsample2_mask(mask):
 
 
 def _resblock(params, stats, grid, mask, *, training, axis_name,
-              use_pallas=False):
+              use_pallas=False, sp_axis=None):
     """Residual block on a SINGLE grid (conv outputs are single groups)."""
     s = {}
     y, s["bn0"] = _mask_bn(params["bn0"], stats["bn0"], [grid], mask,
                            training=training, axis_name=axis_name)
-    y = _subm_conv(y, mask, params["conv0"], use_pallas=use_pallas)
+    y = _subm_conv(y, mask, params["conv0"], use_pallas=use_pallas,
+                   sp_axis=sp_axis)
     y, s["bn1"] = _mask_bn(params["bn1"], stats["bn1"], [y], mask,
                            training=training, axis_name=axis_name)
-    y = _subm_conv(y, mask, params["conv1"], use_pallas=use_pallas)
+    y = _subm_conv(y, mask, params["conv1"], use_pallas=use_pallas,
+                   sp_axis=sp_axis)
     return grid + y, s
 
 
 def _unet(params, stats, groups, mask, *, training, axis_name,
-          use_pallas=False):
+          use_pallas=False, sp_axis=None):
     """FullyConvolutionalNet (reps=1, residual): see nn/blocks.py.
     Input is grouped; returns GROUPS [x, up(deeper)...] — the virtual
     concat of all pyramid levels at this resolution."""
@@ -235,7 +260,7 @@ def _unet(params, stats, groups, mask, *, training, axis_name,
         x = jnp.concatenate(groups, axis=-1)
     x, s["block"] = _resblock(params["block"], stats["block"], x, mask,
                               training=training, axis_name=axis_name,
-                              use_pallas=use_pallas)
+                              use_pallas=use_pallas, sp_axis=sp_axis)
     if "deeper" not in params:
         return [x], s
     y, s["down_bn"] = _mask_bn(params["down_bn"], stats["down_bn"], [x],
@@ -243,7 +268,8 @@ def _unet(params, stats, groups, mask, *, training, axis_name,
     down, down_mask = _strided_conv(y, mask, params["down_conv"])
     deep, s["deeper"] = _unet(params["deeper"], stats["deeper"], [down],
                               down_mask, training=training,
-                              axis_name=axis_name, use_pallas=use_pallas)
+                              axis_name=axis_name, use_pallas=use_pallas,
+                              sp_axis=sp_axis)
     maskf = mask[..., None]
     ups = [
         _upsample2(d) * maskf.astype(d.dtype)
@@ -253,12 +279,13 @@ def _unet(params, stats, groups, mask, *, training, axis_name,
 
 
 def _encoder_layer(params, stats, groups, mask, *, training, axis_name,
-                   use_pallas=False):
+                   use_pallas=False, sp_axis=None):
     s = {}
-    x = _subm_conv(groups, mask, params["p1"], use_pallas=use_pallas)
+    x = _subm_conv(groups, mask, params["p1"], use_pallas=use_pallas,
+                   sp_axis=sp_axis)
     x, s["p2"] = _resblock(params["p2"], stats["p2"], x, mask,
                            training=training, axis_name=axis_name,
-                           use_pallas=use_pallas)
+                           use_pallas=use_pallas, sp_axis=sp_axis)
     y, s["p2_bn"] = _mask_bn(params["p2_bn"], stats["p2_bn"], [x], mask,
                              training=training, axis_name=axis_name)
     down, down_mask = _strided_conv(y, mask, params["p3"])
@@ -298,11 +325,26 @@ class DenseFlowOutput:
     surf_mask: jax.Array
 
 
-def dense_trunk(enc_params, enc_stats, cfg, x, *, training, axis_name):
+def dense_trunk(enc_params, enc_stats, cfg, x, *, training, axis_name,
+                sp_axis=None):
     """Coarse dense U-Net trunk + occ/sdf heads on the 1/8-res grid
     (/root/reference/torch/model.py:89-136). Shared by the unfolded and
-    folded executions. Returns (features y, coarse_out f32, stats)."""
+    folded executions. Returns (features y, coarse_out f32, stats).
+
+    Under spatial sharding the 1/8-res input is tiny, so the trunk runs
+    REPLICATED: all-gather the z-slabs over ICI, compute everywhere, slice
+    the local slab back out (far cheaper than halo-exchanging the trunk's
+    k4s2 conv/transposed-conv chain). Callers pass the DATA axis only as
+    ``axis_name``: the gathered grid is already complete in z, so a
+    space-axis psum would inflate the BN count n-fold and skew the
+    unbiased-variance running estimate.
+    """
     from sgnn_tpu.models.sgnn import _dense_cbr
+
+    if sp_axis is not None:
+        idx = jax.lax.axis_index(sp_axis)
+        zl = x.shape[1]
+        x = jax.lax.all_gather(x, sp_axis, axis=1, tiled=True)
 
     s = {}
     enc0, s["encode_dense0"] = _dense_cbr(
@@ -339,39 +381,89 @@ def dense_trunk(enc_params, enc_stats, cfg, x, *, training, axis_name):
     occ = D.conv3d(y, enc_params["occpred"])
     sdf = D.conv3d(y, enc_params["sdfpred"])
     coarse_out = jnp.concatenate([occ, sdf], -1).astype(jnp.float32)
+    if sp_axis is not None:
+        y = jax.lax.dynamic_slice_in_dim(y, idx * zl, zl, 1)
+        coarse_out = jax.lax.dynamic_slice_in_dim(coarse_out, idx * zl, zl, 1)
     return y, coarse_out, s
 
 
 def genmodel_apply_dense(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
                          num_refine_active: int, do_surf: bool,
-                         training: bool, axis_name=None):
+                         training: bool, axis_name=None, sp_axis=None):
     """Forward pass, dense-flow execution. Mirrors models/sgnn.py
-    genmodel_apply (and /root/reference/torch/model.py:371-416)."""
+    genmodel_apply (and /root/reference/torch/model.py:371-416).
+
+    ``sp_axis``: name of a SPATIAL mesh axis to shard the scene's z extent
+    over (SURVEY §5's long-context analog: scenes beyond one chip's HBM).
+    Must be called inside shard_map with ``st`` replicated across that
+    axis and cfg.input_dim the GLOBAL dims; every device scatters only its
+    z-slab, 3^3 convs halo-exchange boundary planes over ICI
+    (parallel/spatial.py), the 1/8-res trunk runs replicated, and all
+    outputs are local z-slabs (gather with jax.lax.all_gather(axis=1)).
+    Requires Z % (32 * axis_size) == 0 so every strided conv in the U-Net
+    pyramids sees an even local extent.
+    """
     s: dict[str, Any] = {}
     # kernel routing is threaded explicitly (no module globals): the Pallas
-    # folded conv runs wherever its shape constraints hold
+    # folded conv runs wherever its shape constraints hold. The folded
+    # kernel assumes symmetric z padding, so it is disabled under spatial
+    # sharding (halo'd convs run unpadded in z).
     use_pallas = (
         max(1, int(getattr(cfg, "pallas_min_voxels", 1)))
-        if (getattr(cfg, "use_pallas_conv", False) and not training)
+        if (getattr(cfg, "use_pallas_conv", False) and not training
+            and sp_axis is None)
         else 0
     )
+    # BN moments reduce over every mesh axis the batch's voxels span.
+    # (The replicated trunk keeps the data axis only: its input is already
+    # the full gathered grid, so a space-axis psum would inflate `count`
+    # n-fold and skew the unbiased-variance correction.)
+    data_axis = axis_name
+    if axis_name is None:
+        axis_name = sp_axis
+    elif sp_axis is not None:
+        axis_name = (axis_name, sp_axis)
     dt = jnp.dtype(cfg.compute_dtype)
-    grid = sparse_to_dense(st).astype(dt)  # [B, Z, Y, X, input_nf]
     Z, Y, X = st.spatial_size
-    keys_mask = jnp.zeros((st.batch_size, Z, Y, X), jnp.bool_)
     from sgnn_tpu.ops import coords as C
 
-    keys = C.flat_key(st.locs, st.spatial_size, st.batch_size)
-    keys = jnp.where(st.valid(), keys, jnp.int32(-1))
-    mask = (
-        keys_mask.reshape(-1).at[C.oob_key(keys)].set(True, mode="drop")
-    ).reshape(st.batch_size, Z, Y, X)
+    if sp_axis is None:
+        grid = sparse_to_dense(st).astype(dt)  # [B, Z, Y, X, input_nf]
+        keys = C.flat_key(st.locs, st.spatial_size, st.batch_size)
+        keys = jnp.where(st.valid(), keys, jnp.int32(-1))
+        mask = (
+            jnp.zeros((st.batch_size * Z * Y * X,), jnp.bool_)
+            .at[C.oob_key(keys)].set(True, mode="drop")
+        ).reshape(st.batch_size, Z, Y, X)
+    else:
+        n_sp = jax.lax.axis_size(sp_axis)
+        assert Z % (32 * n_sp) == 0, (
+            f"spatial sharding: Z={Z} must divide by 32*{n_sp} so every "
+            "strided conv sees an even local extent"
+        )
+        zl = Z // n_sp
+        idx = jax.lax.axis_index(sp_axis)
+        B = st.batch_size
+        lz = st.locs[:, 0] - idx * zl
+        ok = st.valid() & (lz >= 0) & (lz < zl)
+        lkey = ((st.locs[:, 3] * zl + lz) * Y + st.locs[:, 1]) * X \
+            + st.locs[:, 2]
+        lkey = jnp.where(ok, lkey, jnp.int32(-1))
+        flat = jnp.zeros((B * zl * Y * X, st.num_channels), dt)
+        grid = flat.at[C.oob_key(lkey)].set(
+            st.feats.astype(dt), mode="drop"
+        ).reshape(B, zl, Y, X, st.num_channels)
+        mask = (
+            jnp.zeros((B * zl * Y * X,), jnp.bool_)
+            .at[C.oob_key(lkey)].set(True, mode="drop")
+        ).reshape(B, zl, Y, X)
 
     # ---- encoder sparse levels (checkpointed under training: level-0
     # residuals are full-resolution)
     def enc_layer(p, st_l, x, m):
         return _encoder_layer(p, st_l, [x], m, training=training,
-                              axis_name=axis_name, use_pallas=use_pallas)
+                              axis_name=axis_name, use_pallas=use_pallas,
+                              sp_axis=sp_axis)
 
     if training:
         enc_layer = jax.checkpoint(enc_layer)
@@ -392,7 +484,7 @@ def genmodel_apply_dense(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
     # Volumes here are 1/8^3 and below — materialized concats are cheap.
     y, coarse_out, s_trunk = dense_trunk(
         params["encoder"], stats["encoder"], cfg, x,
-        training=training, axis_name=axis_name,
+        training=training, axis_name=data_axis, sp_axis=sp_axis,
     )
     s["encoder"].update(s_trunk)
 
@@ -416,17 +508,18 @@ def genmodel_apply_dense(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
         prune (model.py:209-247). Checkpointed whole under training: its
         full-resolution activations dominate autodiff residuals."""
         s_h = {}
-        z = _subm_conv(cur, cur_mask, p["p1"], use_pallas=use_pallas)
+        z = _subm_conv(cur, cur_mask, p["p1"], use_pallas=use_pallas,
+                       sp_axis=sp_axis)
         z, s_h["p2"] = _unet(p["p2"], st_h["p2"], [z], cur_mask,
                              training=training, axis_name=axis_name,
-                             use_pallas=use_pallas)
+                             use_pallas=use_pallas, sp_axis=sp_axis)
         z, s_h["p3"] = _mask_bn(p["p3"], st_h["p3"], z, cur_mask,
                                 training=training, axis_name=axis_name)
         # generative 2x upsample fused with the n1 conv (model.py:192-207;
         # ops/dense.py:upsampled_conv3d): z is already zero off cur_mask,
         # so conv(nn_upsample(z)) == the fused transposed conv on z
         mask_unfilt = _upsample2_mask(cur_mask)
-        up = _upsampled_conv(z, p["n1"])
+        up = _upsampled_conv(z, p["n1"], sp_axis=sp_axis)
         up = up * mask_unfilt[..., None].astype(up.dtype)
         ups, s_h["n2"] = _mask_bn(p["n2"], st_h["n2"], [up], mask_unfilt,
                                   training=training, axis_name=axis_name)
@@ -471,10 +564,11 @@ def genmodel_apply_dense(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
 
         def surf_block(p, st_s, cur, cur_mask):
             s_s = {}
-            z = _subm_conv(cur, cur_mask, p["p1"], use_pallas=use_pallas)
+            z = _subm_conv(cur, cur_mask, p["p1"], use_pallas=use_pallas,
+                           sp_axis=sp_axis)
             z, s_s["p2"] = _unet(p["p2"], st_s["p2"], [z], cur_mask,
                                  training=training, axis_name=axis_name,
-                                 use_pallas=use_pallas)
+                                 use_pallas=use_pallas, sp_axis=sp_axis)
             z, s_s["p3"] = _mask_bn(p["p3"], st_s["p3"], z, cur_mask,
                                     training=training, axis_name=axis_name)
             surf = _linear(z, p["linear"])[..., 0]
@@ -487,8 +581,9 @@ def genmodel_apply_dense(params, stats, cfg: SGNNConfig, st: SparseTensor, *,
         s["surfacepred"] = s_s
     else:
         B = st.batch_size
-        surf = jnp.zeros((B, Z, Y, X), jnp.float32)
-        surf_mask = jnp.zeros((B, Z, Y, X), jnp.bool_)
+        z_out = Z if sp_axis is None else Z // jax.lax.axis_size(sp_axis)
+        surf = jnp.zeros((B, z_out, Y, X), jnp.float32)
+        surf_mask = jnp.zeros((B, z_out, Y, X), jnp.bool_)
         s["surfacepred"] = stats["surfacepred"]
 
     out = DenseFlowOutput(

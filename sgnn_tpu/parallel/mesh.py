@@ -34,6 +34,35 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+def put_device_batch(dev_batch: dict, mesh: Mesh):
+    """Asynchronously transfer a per-device batch (leading [D] axis on
+    every array, from ``device_batch``) onto the mesh with the shardings
+    the jitted step expects (P(DATA_AXIS) on the leading axis).
+
+    ``jax.device_put`` is async: calling it one batch ahead of the step
+    overlaps the host->device transfer with the previous step's compute.
+    """
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree.map(lambda a: jax.device_put(a, sh), dev_batch)
+
+
+def prefetch_to_device(batches, mesh: Mesh, size: int = 2):
+    """Double-buffered device prefetch: yields batches already resident on
+    the mesh, keeping ``size`` transfers in flight ahead of the consumer
+    (the reference's DataLoader(num_workers=2) host analog — train.py:102 —
+    extended to hide the H2D hop itself)."""
+    import collections
+
+    buf = collections.deque()
+    it = iter(batches)
+    for b in it:
+        buf.append(put_device_batch(b, mesh))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def device_batch(batch: dict, num_devices: int) -> dict:
     """Regroup a collated global batch into per-device sub-batches.
 

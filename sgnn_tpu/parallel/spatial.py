@@ -20,14 +20,16 @@ import jax.numpy as jnp
 from sgnn_tpu.ops import dense as D
 
 
-def halo_exchange(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
-    """Append neighbors' boundary z-slabs: [B, Zl, Y, X, C] ->
-    [B, Zl + 2*halo, Y, X, C]. Edge devices get zero padding."""
-    n = jax.lax.psum(1, axis_name)
+def halo_exchange(
+    x: jax.Array, halo: int, axis_name: str, *, axis: int = 1
+) -> jax.Array:
+    """Append neighbors' boundary slabs along sharded dim ``axis``:
+    [..., Zl, ...] -> [..., Zl + 2*halo, ...]. Edge devices get zeros."""
+    n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     # slab we send DOWN (to idx+1): our top; slab we send UP: our bottom
-    top = x[:, -halo:]
-    bot = x[:, :halo]
+    top = jax.lax.slice_in_dim(x, x.shape[axis] - halo, x.shape[axis], axis=axis)
+    bot = jax.lax.slice_in_dim(x, 0, halo, axis=axis)
     from_prev = jax.lax.ppermute(
         top, axis_name, [(i, (i + 1) % n) for i in range(n)]
     )
@@ -35,9 +37,10 @@ def halo_exchange(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
         bot, axis_name, [(i, (i - 1) % n) for i in range(n)]
     )
     # zero the wrapped halos at the global boundary
-    from_prev = jnp.where(idx == 0, 0.0, from_prev)
-    from_next = jnp.where(idx == n - 1, 0.0, from_next)
-    return jnp.concatenate([from_prev, x, from_next], axis=1)
+    zero = jnp.zeros((), x.dtype)
+    from_prev = jnp.where(idx == 0, zero, from_prev)
+    from_next = jnp.where(idx == n - 1, zero, from_next)
+    return jnp.concatenate([from_prev, x, from_next], axis=axis)
 
 
 def sharded_conv3d(

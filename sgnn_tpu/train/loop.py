@@ -235,7 +235,29 @@ class Trainer:
             )
 
     # ------------------------------------------------------------- training
-    def run_step(self, batch, with_metrics=False):
+    def device_transform(self, batch):
+        """BatchLoader ``transform``: per-device re-collation in the worker
+        thread, off the step critical path (parallel/mesh.py:device_batch)."""
+        batch["_device"] = PM.device_batch(batch, self.num_devices)
+        return batch
+
+    def _prefetch(self, loader, size: int = 2):
+        """Yield (raw_batch, device-resident batch), keeping ``size``
+        async H2D transfers in flight ahead of the consuming step."""
+        from collections import deque
+
+        buf = deque()
+        for b in loader:
+            d = b.get("_device")
+            if d is None:
+                d = PM.device_batch(b, self.num_devices)
+            buf.append((b, PM.put_device_batch(d, self.mesh)))
+            if len(buf) >= size:
+                yield buf.popleft()
+        while buf:
+            yield buf.popleft()
+
+    def run_step(self, batch, with_metrics=False, dev_batch=None):
         """One optimization step on a collated global batch."""
         opts = self.opts
         lw = S.get_loss_weights(
@@ -247,7 +269,10 @@ class Trainer:
             lr = S.step_lr(opts.lr, self.iteration, opts.scheduler_step_size)
         else:
             lr = S.step_lr(opts.lr, self.epoch, opts.decay_lr)
-        dev_batch = PM.device_batch(batch, self.num_devices)
+        if dev_batch is None:
+            dev_batch = batch.get("_device")
+        if dev_batch is None:
+            dev_batch = PM.device_batch(batch, self.num_devices)
         step = self._train_step(n_active, do_surf, with_metrics)
         self.state, metrics = step(
             self.state, dev_batch, lw.astype(np.float32), np.float32(lr)
@@ -285,7 +310,7 @@ class Trainer:
             vis_batch = None
             num_batches = len(train_loader)
             t = -1
-            for batch in train_loader:
+            for batch, dev in self._prefetch(train_loader):
                 t += 1
                 if (
                     opts.save_epoch
@@ -297,7 +322,7 @@ class Trainer:
                     opts.log_every > 0
                     and (self.iteration % opts.log_every) == 0
                 )
-                metrics, lw = self.run_step(batch, with_metrics)
+                metrics, lw = self.run_step(batch, with_metrics, dev_batch=dev)
                 accum.add(metrics, with_metrics)
                 if opts.log_every > 0 and self.iteration % opts.log_every == 0:
                     took = time.time() - start
@@ -361,8 +386,7 @@ class Trainer:
         n_active, do_surf = S.active_levels(lw)
         step = self._eval_step(n_active, do_surf)
         losses, ious, l1p, l1t = [], [], [], []
-        for batch in val_loader:
-            dev_batch = PM.device_batch(batch, self.num_devices)
+        for batch, dev_batch in self._prefetch(val_loader):
             m = step(self.state, dev_batch, lw.astype(np.float32))
             losses.append(float(m["loss"]))
             ious.append(np.asarray(m["iou"]))

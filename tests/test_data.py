@@ -178,3 +178,47 @@ def test_scene_mode_padding(tmp_path, rng):
     assert (s["known"][:, 33:, :] == 255).all()  # padding marked unknown
     assert (s["input_locs"][:, 0] < 32).all()
     np.testing.assert_array_equal(s["orig_dims"], dims)
+
+
+def test_batchloader_multiworker_order_and_transform(chunk_dir):
+    """Worker-pool loader preserves batch order deterministically and runs
+    the transform hook inside the workers (the trainer moves device
+    re-collation there, off the step path)."""
+    files = sorted(str(p) for p in chunk_dir.glob("*.sdfs"))
+    ds = DS.SceneDataset(files, truncation=3.0, num_hierarchy_levels=4)
+    ref = [
+        b["names"]
+        for b in DS.BatchLoader(
+            ds, 1, 256, shuffle=True, seed=7, num_workers=1, drop_last=False
+        )
+    ]
+    import threading
+
+    seen_threads = set()
+
+    def tf(b):
+        seen_threads.add(threading.get_ident())
+        b["tagged"] = True
+        return b
+
+    got = list(
+        DS.BatchLoader(
+            ds, 1, 256, shuffle=True, seed=7, num_workers=4,
+            drop_last=False, prefetch=2, transform=tf,
+        )
+    )
+    assert [b["names"] for b in got] == ref
+    assert all(b["tagged"] for b in got)
+    assert threading.get_ident() not in seen_threads
+
+
+def test_batchloader_worker_error_propagates(chunk_dir):
+    files = sorted(str(p) for p in chunk_dir.glob("*.sdfs"))
+    ds = DS.SceneDataset(files, truncation=3.0, num_hierarchy_levels=4)
+
+    def boom(b):
+        raise RuntimeError("worker failed")
+
+    loader = DS.BatchLoader(ds, 1, 256, num_workers=3, transform=boom)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        list(loader)

@@ -110,3 +110,77 @@ def test_bn_moments_sync_across_devices(rng):
     np.testing.assert_allclose(
         np.asarray(stats_sh["var"]), np.asarray(stats_ref["var"]), rtol=1e-4
     )
+
+
+def test_full_model_spatial_sharded_forward(rng):
+    """Whole dense_flow forward over a z-sharded 4-device mesh equals the
+    unsharded forward (VERDICT item 5: scenes beyond one chip's HBM via
+    halo-exchanged convs + replicated 1/8-res trunk)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from sgnn_tpu.config import SGNNConfig
+    from sgnn_tpu.models import dense_flow as DFM
+    from sgnn_tpu.models import sgnn as M
+    from sgnn_tpu.ops.sparse import make_sparse
+
+    n_dev = 4
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("space",))
+    cfg = SGNNConfig(
+        encoder_dim=4, input_dim=(128, 32, 32), nf_coarse=8, nf=8,
+        num_hierarchy_levels=4, batch_size=1,
+        occupancy_fractions=(1.0, 1.0, 1.0, 1.0),
+    )
+    params, stats = M.genmodel_init(jax.random.PRNGKey(0), cfg)
+
+    Z, Y, X = cfg.input_dim
+    n = 600
+    flat = rng.choice(Z * Y * X, size=n, replace=False)
+    z, rem = flat // (Y * X), flat % (Y * X)
+    y, x = rem // X, rem % X
+    locs = np.zeros((1024, 4), np.int32) - 1
+    locs[:n] = np.stack([z, y, x, np.zeros_like(z)], -1)
+    feats = np.zeros((1024, 1), np.float32)
+    feats[:n, 0] = rng.randn(n).astype(np.float32)
+
+    def fwd(training, sp_axis=None):
+        def f(locs, feats):
+            st = make_sparse(locs, feats, n, cfg.input_dim, 1)
+            out, new_stats = DFM.genmodel_apply_dense(
+                params, stats, cfg, st,
+                num_refine_active=cfg.num_refine_levels, do_surf=True,
+                training=training, sp_axis=sp_axis,
+            )
+            flat_out = (
+                out.coarse_out, *out.refine_outs,
+                *[m.astype(np.int8) for m in out.refine_masks_unfilt],
+                out.surf_sdf, out.surf_mask.astype(np.int8),
+            )
+            return flat_out, new_stats
+        return f
+
+    for training in (False, True):
+        ref_out, ref_stats = jax.jit(fwd(training))(locs, feats)
+        n_out = len(ref_out)
+        sharded = shard_map(
+            fwd(training, sp_axis="space"), mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=((P(None, "space"),) * n_out, P()),
+            check_vma=False,
+        )
+        got_out, got_stats = jax.jit(sharded)(locs, feats)
+        for r, g in zip(ref_out, got_out):
+            assert r.shape == g.shape
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-4
+            )
+        if training:  # BN moments psum'd over the space axis must agree
+            for (pr, r), (pg, g) in zip(
+                jax.tree_util.tree_leaves_with_path(ref_stats),
+                jax.tree_util.tree_leaves_with_path(got_stats),
+            ):
+                assert pr == pg
+                np.testing.assert_allclose(
+                    np.asarray(g), np.asarray(r), rtol=1e-3, atol=1e-5,
+                    err_msg=str(pr),
+                )

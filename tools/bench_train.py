@@ -1,0 +1,152 @@
+"""Training-throughput benchmark on synthetic chunks.
+
+Measures full optimization steps (fwd + bwd + Adam + metrics cadence) at
+the reference train config (batch 8, chunks 128x64x64 @ 2 cm, L=4 —
+/root/reference/torch/train.py:40-64) through the real Trainer loop,
+including the data loader, per-device re-collation, and device prefetch —
+so loader/pipeline improvements show up here, not just kernel wins.
+
+Usage: python tools/bench_train.py [--steps 30] [--batch_size 8]
+Prints one JSON line {"step_ms": ..., "chunks_per_sec": ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def make_chunk(rng, dims=(128, 64, 64), vs=0.02, n_surface=8000):
+    from sgnn_tpu.data import formats as F
+
+    Z, Y, X = dims
+    flat = rng.choice(Z * Y * X, size=n_surface, replace=False)
+    z, rem = flat // (Y * X), flat % (Y * X)
+    y, x = rem // X, rem % X
+    in_locs = np.stack([z, y, x], -1).astype(np.int32)
+    in_sdf = rng.randn(n_surface).astype(np.float32)
+    target = np.full(dims, -np.inf, np.float32)
+    target[z, y, x] = in_sdf
+    known = (rng.rand(*dims) * 3).astype(np.uint8)
+    hier = []
+    for f in (8, 4, 2):
+        hd = (Z // f, Y // f, X // f)
+        g = np.full(hd, -np.inf, np.float32)
+        m = rng.rand(*hd) > 0.5
+        g[m] = rng.randn(int(m.sum())).astype(np.float32)
+        hier.append(g)
+    return F.TrainChunk(
+        in_locs, in_sdf, target, dims, vs,
+        np.eye(4, dtype=np.float32), known, hier,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--num_chunks", type=int, default=64)
+    ap.add_argument("--execution", default="dense_flow")
+    ap.add_argument("--compute_dtype", default="bfloat16")
+    ap.add_argument("--log_every", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+    from sgnn_tpu.data import formats as F
+    from sgnn_tpu.data.dataset import BatchLoader, SceneDataset
+    from sgnn_tpu import schedules as S
+    from sgnn_tpu.train.loop import TrainOptions, Trainer
+
+    rng = np.random.RandomState(0)
+    tmp = tempfile.mkdtemp(prefix="bench_train_")
+    files = []
+    for i in range(args.num_chunks):
+        p = os.path.join(tmp, f"c{i}.sdfs")
+        F.save_train_file(p, make_chunk(rng))
+        files.append(p)
+
+    opts = TrainOptions(
+        input_dim=(128, 64, 64),
+        num_hierarchy_levels=4,
+        # all levels + surface active from step 0: the steady-state cost
+        num_iters_per_level=0,
+        batch_size=args.batch_size,
+        max_epoch=1000,
+        lr=1e-3,
+        execution=args.execution,
+        compute_dtype=args.compute_dtype,
+        log_every=args.log_every,
+        ckpt_every=0,
+        save_epoch=0,
+        save=os.path.join(tmp, "logs"),
+    )
+    # num_iters_per_level=0 would divide by zero in the schedule; emulate
+    # "all active" by starting the iteration counter past the fade-in
+    opts.num_iters_per_level = 1
+    trainer = Trainer(opts)
+    trainer.iteration = 10 * opts.num_hierarchy_levels  # all levels active
+    trainer.epoch = 0
+    lw = S.get_loss_weights(
+        trainer.iteration, opts.num_hierarchy_levels, 1, opts.weight_sdf_loss
+    )
+    assert S.active_levels(lw) == (opts.num_hierarchy_levels - 1, True)
+
+    ds = SceneDataset(files, truncation=3.0, num_hierarchy_levels=4)
+    loader = BatchLoader(
+        ds, args.batch_size, trainer.cfg.input_cap * trainer.num_devices,
+        shuffle=True, seed=0, transform=trainer.device_transform,
+    )
+
+    import jax
+
+    times = []
+    done = 0
+    t_prev = None
+    while done < args.steps + args.warmup:
+        for batch, dev in trainer._prefetch(loader):
+            with_metrics = trainer.iteration % args.log_every == 0
+            metrics, _ = trainer.run_step(batch, with_metrics, dev_batch=dev)
+            jax.block_until_ready(metrics["loss"])
+            t = time.perf_counter()
+            if t_prev is not None:
+                times.append(t - t_prev)
+            t_prev = t
+            done += 1
+            if done >= args.steps + args.warmup:
+                break
+        t_prev = None  # epoch boundary: don't time the loader restart
+
+    steady = np.array(times[args.warmup:])
+    step_ms = float(np.median(steady) * 1e3)
+    print(json.dumps({
+        "step_ms": round(step_ms, 1),
+        "chunks_per_sec": round(args.batch_size / (step_ms / 1e3), 2),
+        "mean_step_ms": round(float(steady.mean() * 1e3), 1),
+        "p90_step_ms": round(float(np.percentile(steady, 90) * 1e3), 1),
+        "steps": len(steady),
+        "loss": float(metrics["loss"]),
+        "times_ms": [round(t * 1e3, 1) for t in times],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -146,7 +146,7 @@ def main():
     )
     train_loader = BatchLoader(
         train_ds, args.batch_size, trainer.cfg.input_cap * trainer.num_devices,
-        shuffle=True, seed=args.seed,
+        shuffle=True, seed=args.seed, transform=trainer.device_transform,
     )
     val_loader = None
     if val_files:
@@ -157,6 +157,7 @@ def main():
         val_loader = BatchLoader(
             val_ds, args.batch_size,
             trainer.cfg.input_cap * trainer.num_devices,
+            transform=trainer.device_transform,
         )
 
     os.makedirs(args.save, exist_ok=True)
