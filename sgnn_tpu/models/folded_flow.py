@@ -55,12 +55,15 @@ def _bn_groups(params, stats, groups, fm):
 
 
 def _resblock(params, stats, fg, fm):
-    y = _bn_groups(params["bn0"], stats["bn0"], [fg], fm)
-    y = FO.subm_conv_folded(y, fm, params["conv0"],
-                            params["conv0"].shape[-1])
-    y = _bn_groups(params["bn1"], stats["bn1"], [y], fm)
-    y = FO.subm_conv_folded(y, fm, params["conv1"],
-                            params["conv1"].shape[-1])
+    # both BN -> conv pairs run as single fused kernel sites (v3)
+    y = FO.subm_conv_fused(
+        [fg], fm, params["conv0"], params["conv0"].shape[-1],
+        bn_params=params["bn0"], bn_stats=stats["bn0"],
+    )
+    y = FO.subm_conv_fused(
+        [y], fm, params["conv1"], params["conv1"].shape[-1],
+        bn_params=params["bn1"], bn_stats=stats["bn1"],
+    )
     return fg.with_data(fg.data + y.data)
 
 
@@ -84,8 +87,8 @@ def _unet(params, stats, fg, fm):
 
 
 def _encoder_layer(params, stats, groups, fm):
-    x = FO.subm_conv_folded(groups, fm, params["p1"],
-                            params["p1"].shape[-1])
+    x = FO.subm_conv_fused(groups, fm, params["p1"],
+                           params["p1"].shape[-1])
     x = _resblock(params["p2"], stats["p2"], x, fm)
     y = _bn_groups(params["p2_bn"], stats["p2_bn"], [x], fm)[0]
     down = FO.strided_conv_folded([y], params["p3"], params["p3"].shape[-1])
@@ -143,15 +146,21 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
     ref_masks = []
 
     def refine_level(p, st_h, cur, cur_fm):
-        z = FO.subm_conv_folded(cur, cur_fm, p["p1"], p["p1"].shape[-1])
+        z = FO.subm_conv_fused(cur, cur_fm, p["p1"], p["p1"].shape[-1])
         zg = _unet(p["p2"], st_h["p2"], z, cur_fm)
-        zg = _bn_groups(p["p3"], st_h["p3"], zg, cur_fm)
-        # generative 2x upsample + n1 conv: conv3(nn_up(z)) — z is zero off
-        # cur_fm so the upsampled grid is zero off the unfiltered mask
+        # generative 2x upsample + n1 conv as ONE kernel reading the
+        # coarse groups, with the p3 BN folded into its input affine
         fm_unfilt = FO.upsample2_folded(cur_fm)
-        ups = [FO.upsample2_folded(g) for g in zg]
-        up = FO.subm_conv_folded(ups, fm_unfilt, p["n1"],
-                                 p["n1"].shape[-1])
+        import os
+        if os.environ.get("SGNN_NO_UPCONV"):
+            zb = _bn_groups(p["p3"], st_h["p3"], zg, cur_fm)
+            ups = [FO.upsample2_folded(g) for g in zb]
+            up = FO.subm_conv_fused(ups, fm_unfilt, p["n1"],
+                                    p["n1"].shape[-1])
+        else:
+            up = FO.upconv_fused(zg, cur_fm, fm_unfilt, p["n1"],
+                                 p["n1"].shape[-1],
+                                 bn_params=p["p3"], bn_stats=st_h["p3"])
         up = _bn_groups(p["n2"], st_h["n2"], [up], fm_unfilt)[0]
         w2 = jnp.concatenate(
             [p["linear"]["weight"], p["linearsdf"]["weight"]], axis=1
@@ -185,7 +194,7 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
         if cfg.use_skip_sparse:
             sk, _sk_fm = skips[0]
             cur = [*cur, sk.with_data(sk.data * cur_fm.data)]
-        z = FO.subm_conv_folded(cur, cur_fm, p["p1"], p["p1"].shape[-1])
+        z = FO.subm_conv_fused(cur, cur_fm, p["p1"], p["p1"].shape[-1])
         zg = _unet(p["p2"], st_s["p2"], z, cur_fm)
         zg = _bn_groups(p["p3"], st_s["p3"], zg, cur_fm)
         surf_fg = None

@@ -146,25 +146,41 @@ def scatter_sparse(
     valid = jnp.arange(cap) < num_valid
     # one update per row (input voxels are unique): XLA lowers scatter via
     # sort, so keep the update count at cap, not cap * lanes
-    slot = (((b * (Z + 2) + z + 1) * (Y + 2) + y + 1) * xq + x // F) * F \
-        + x % F
-    slot = jnp.where(valid, slot, jnp.int32(-(1 << 30)))
-    nslots = B * (Z + 2) * (Y + 2) * xq * F
-    flat = jnp.zeros((nslots, Cin), dtype)
-    flat = flat.at[slot].set(
-        feats.astype(dtype), mode="drop", unique_indices=True
+    assert Cin <= cpad
+    # Scatter DIRECTLY into the folded layout's flat index space (lane
+    # l = (x % F) * cpad + c), 1-D buffers only: a [nslots, C] scatter
+    # target gets its minor dim lane-padded C -> 128 by XLA:TPU, which
+    # physically inflates the buffer (and every pass over it) ~128/C x —
+    # measured as the dominant input-boundary cost. 1-D buffers tile
+    # dense; the reshape to [B, Z+2, Y+2, xq, 128] is layout-free.
+    base = ((((b * (Z + 2) + z + 1) * (Y + 2) + y + 1) * xq + x // F)
+            * LANES + (x % F) * cpad)
+    base = jnp.where(valid, base, jnp.int32(-(1 << 30)))
+    nflat = B * (Z + 2) * (Y + 2) * xq * LANES
+    shape5 = (B, Z + 2, Y + 2, xq, LANES)
+    if Cin == 1:
+        fflat = jnp.zeros((nflat,), dtype).at[base].set(
+            feats[:, 0].astype(dtype), mode="drop", unique_indices=True
+        )
+    else:
+        idx = (base[:, None] + jnp.arange(Cin)[None, :]).reshape(-1)
+        fflat = jnp.zeros((nflat,), dtype).at[idx].set(
+            feats.astype(dtype).reshape(-1), mode="drop",
+            unique_indices=True,
+        )
+    data = fflat.reshape(shape5)
+    # mask: scatter 1.0 at each voxel's lane 0, then replicate to all
+    # cpad lanes with one constant lane-GEMM (same matrix as the
+    # occupancy broadcast)
+    mflat = jnp.zeros((nflat,), dtype).at[base].set(
+        jnp.ones((cap,), dtype), mode="drop", unique_indices=True
     )
-    # lane l = slot_in_block * cpad + c: channels first within a voxel,
-    # then pad dead channel lanes
-    fx = flat.reshape(B, Z + 2, Y + 2, xq, F, Cin)
-    if Cin < cpad:
-        fx = jnp.pad(fx, ((0, 0),) * 5 + ((0, cpad - Cin),))
-    data = fx.reshape(B, Z + 2, Y + 2, xq, LANES)
-    mflat = jnp.zeros((nslots,), dtype)
-    mflat = mflat.at[slot].set(1.0, mode="drop", unique_indices=True)
-    mdata = jnp.repeat(
-        mflat.reshape(B, Z + 2, Y + 2, xq, F), cpad, axis=-1
-    )
+    R = jnp.asarray(_occ_replicate(cpad), dtype)
+    mdata = jax.lax.dot_general(
+        mflat.reshape(shape5), R,
+        dimension_numbers=(((4,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
     return (
         FGrid(data, dims, Cin, cpad),
         FGrid(mdata, dims, cpad, cpad),
@@ -459,3 +475,86 @@ def bn_folded(params: dict, stats: dict, fg: FGrid, fm: FGrid, *,
         y = jnp.maximum(y, 0.0)
     y = y.astype(fg.data.dtype) * fm.data
     return fg.with_data(y), new_stats
+
+
+def subm_conv_fused(groups: list, fm: FGrid, w27: jax.Array, cout: int, *,
+                    bn_params: dict | None = None,
+                    bn_stats: dict | None = None,
+                    relu: bool = True, eps: float = 1e-4) -> FGrid:
+    """Fused conv SITE: one Pallas kernel for [optional eval-BN affine +
+    ReLU + input mask] -> multi-group 3^3 conv -> output mask -> halo'd
+    output (ops/pallas/conv3d_folded.py:fused_conv_folded kernel v3).
+
+    Replaces the v2 composition [bn_folded -> per-group subm_conv_folded
+    partial sums -> rehalo*mask], which paid one full-grid XLA pass per
+    elementwise stage; here HBM traffic is the floor (read G grids + mask,
+    write one grid). BN params/stats are FULL-WIDTH vectors sliced per
+    group, exactly like _bn_groups (models/folded_flow.py).
+    """
+    from sgnn_tpu.ops.pallas.conv3d_folded import fused_conv_folded
+
+    fg0 = groups[0]
+    cpad = fg0.cpad
+    F = LANES // cpad
+    ws, affines = [], []
+    off = 0
+    for fg in groups:
+        c = fg.real_c
+        ws.append(w27[:, off:off + c, :])
+        if bn_params is not None:
+            inv = jax.lax.rsqrt(
+                bn_stats["var"][off:off + c].astype(jnp.float32) + eps
+            ) * bn_params["scale"][off:off + c].astype(jnp.float32)
+            beta = bn_params["bias"][off:off + c].astype(jnp.float32) \
+                - bn_stats["mean"][off:off + c].astype(jnp.float32) * inv
+            a = jnp.zeros((cpad,), jnp.float32).at[:c].set(inv)
+            b = jnp.zeros((cpad,), jnp.float32).at[:c].set(beta)
+            affines.append((jnp.tile(a, F), jnp.tile(b, F)))
+        off += c
+    assert off == w27.shape[1], (off, w27.shape)
+    out = fused_conv_folded(
+        [g.data for g in groups], fm.data, ws, cpad,
+        affines=affines if bn_params is not None else None, relu=relu,
+    )
+    return FGrid(out, fg0.dims, cout, cpad)
+
+
+def upconv_fused(groups: list, cfm: FGrid, ffm: FGrid, w27: jax.Array,
+                 cout: int, *, bn_params: dict | None = None,
+                 bn_stats: dict | None = None, relu: bool = True,
+                 eps: float = 1e-4) -> FGrid:
+    """Fused generative upsample site: [optional eval-BN + ReLU + coarse
+    mask] -> 2x NN upsample -> 3^3 conv -> fine mask, ONE Pallas kernel
+    reading the COARSE groups (ops/pallas/conv3d_folded.py:
+    fused_upconv_folded). The G upsampled fine grids of the composed path
+    (8x the coarse bytes each, written then re-read by the conv) are never
+    materialized. Matches conv3(nn_up(concat(groups))) == the reference's
+    to_next_level_locs + n1 conv (/root/reference/torch/model.py:192-207).
+    """
+    from sgnn_tpu.ops.pallas.conv3d_folded import fused_upconv_folded
+
+    fg0 = groups[0]
+    cpad = fg0.cpad
+    F = LANES // cpad
+    Zc, Yc, Xc = fg0.dims
+    ws, affines = [], []
+    off = 0
+    for fg in groups:
+        c = fg.real_c
+        ws.append(w27[:, off:off + c, :])
+        if bn_params is not None:
+            inv = jax.lax.rsqrt(
+                bn_stats["var"][off:off + c].astype(jnp.float32) + eps
+            ) * bn_params["scale"][off:off + c].astype(jnp.float32)
+            beta = bn_params["bias"][off:off + c].astype(jnp.float32) \
+                - bn_stats["mean"][off:off + c].astype(jnp.float32) * inv
+            a = jnp.zeros((cpad,), jnp.float32).at[:c].set(inv)
+            b = jnp.zeros((cpad,), jnp.float32).at[:c].set(beta)
+            affines.append((jnp.tile(a, F), jnp.tile(b, F)))
+        off += c
+    assert off == w27.shape[1], (off, w27.shape)
+    out = fused_upconv_folded(
+        [g.data for g in groups], cfm.data, ffm.data, ws, cpad,
+        affines=affines if bn_params is not None else None, relu=relu,
+    )
+    return FGrid(out, (2 * Zc, 2 * Yc, 2 * Xc), cout, cpad)

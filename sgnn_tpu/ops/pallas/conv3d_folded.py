@@ -288,3 +288,602 @@ def _conv_bwd(res, g):
 
 
 conv3d_3x3x3_folded.defvjp(_conv_fwd, _conv_bwd)
+
+
+# --------------------------------------------------------- fused kernel (v3)
+#
+# One kernel per conv SITE instead of per channel group, with the
+# surrounding elementwise ops folded in. Removes, per conv, every XLA-side
+# full-grid pass the v2 path needed: (G-1) partial-sum read+writes, the
+# BN-eval affine+ReLU pass feeding the conv, the output mask multiply, and
+# the re-halo pad. HBM traffic becomes the floor: read G tiles + mask,
+# write one halo'd masked output.
+#
+#   out[b, 1+z, 1+y, :, :] = mask * sum_g conv3(in_g'), where
+#   in_g' = relu(in_g * a_g + b_g) * mask    (a, b optional: BN-eval affine)
+#
+# and the output's one-voxel halo ring is written ZERO by the edge
+# programs, so the result is directly the next conv's operand.
+
+
+def _kernel_fused(*refs, G, tz, ty, xq, cpad, relu, has_affine, acc_dtype):
+    xrefs = refs[:G]
+    mask_ref, wm_ref, wc_ref, ab_ref, out_ref = refs[G:G + 5]
+    tbuf, obuf, zb_z, zb_y, zb_c, in_sems, out_sems, ring_sems = refs[G + 5:]
+
+    nz = pl.num_programs(1)
+    ny = pl.num_programs(2)
+    b = pl.program_id(0)
+    iz = pl.program_id(1)
+    iy = pl.program_id(2)
+    k = (b * nz + iz) * ny + iy
+    total = pl.num_programs(0) * nz * ny
+
+    def in_dmas(step, slot):
+        bb = step // (nz * ny)
+        r = step % (nz * ny)
+        z0 = (r // ny) * tz
+        y0 = (r % ny) * ty
+        dmas = []
+        for g in range(G):
+            dmas.append(pltpu.make_async_copy(
+                xrefs[g].at[bb, pl.ds(z0, tz + 2), pl.ds(y0, ty + 2), :, :],
+                tbuf.at[slot, g],
+                in_sems.at[slot, g],
+            ))
+        dmas.append(pltpu.make_async_copy(
+            mask_ref.at[bb, pl.ds(z0, tz + 2), pl.ds(y0, ty + 2), :, :],
+            tbuf.at[slot, G],
+            in_sems.at[slot, G],
+        ))
+        return dmas
+
+    @pl.when(k == 0)
+    def _():
+        for d in in_dmas(0, 0):
+            d.start()
+
+    @pl.when(k + 1 < total)
+    def _():
+        for d in in_dmas(k + 1, (k + 1) % 2):
+            d.start()
+
+    # the output DMA two programs back must land before its slot is reused
+    @pl.when(k > 1)
+    def _():
+        pltpu.make_async_copy(
+            obuf.at[k % 2], obuf.at[k % 2], out_sems.at[k % 2]
+        ).wait()
+
+    for d in in_dmas(k, k % 2):
+        d.wait()
+
+    slot = k % 2
+    mt = tbuf[slot, G]  # [tz+2, ty+2, xq, 128] 0/1 (halo ring zero)
+    rows = tz * ty * xq
+    acc = jnp.zeros((rows, LANES), acc_dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, LANES), 3)
+    for g in range(G):
+        t = tbuf[slot, g]
+        if has_affine:
+            tf = t.astype(jnp.float32) * ab_ref[0, g] + ab_ref[1, g]
+            if relu:
+                tf = jnp.maximum(tf, 0.0)
+            t = (tf * mt.astype(jnp.float32)).astype(t.dtype)
+        # carry lhs: lanes < cpad take the NEXT x-block (dx=+1 carry into
+        # out slot F-1), lanes >= 128-cpad the PREVIOUS (dx=-1 into slot
+        # 0); middle lanes hit zero weight rows (see _fold_weights)
+        zrow = jnp.zeros_like(t[:, :, :1])
+        nxt = jnp.concatenate([t[:, :, 1:], zrow], axis=2)
+        prv = jnp.concatenate([zrow, t[:, :, :-1]], axis=2)
+        carry = jnp.where(lane < cpad, nxt, prv)
+        for dz in range(3):
+            for dy in range(3):
+                kk = dz * 3 + dy
+                lhs_m = t[dz:dz + tz, dy:dy + ty].reshape(rows, LANES)
+                acc = acc + jnp.dot(
+                    lhs_m, wm_ref[g, kk], preferred_element_type=acc_dtype
+                )
+                lhs_c = carry[dz:dz + tz, dy:dy + ty].reshape(rows, LANES)
+                acc = acc + jnp.dot(
+                    lhs_c, wc_ref[g, kk], preferred_element_type=acc_dtype
+                )
+
+    om = mt[1:1 + tz, 1:1 + ty].reshape(rows, LANES).astype(acc_dtype)
+    res = (acc * om).astype(out_ref.dtype)
+    obuf[slot] = res.reshape(tz, ty, xq, LANES)
+    out_dma = pltpu.make_async_copy(
+        obuf.at[slot],
+        out_ref.at[b, pl.ds(1 + iz * tz, tz), pl.ds(1 + iy * ty, ty), :, :],
+        out_sems.at[slot],
+    )
+    out_dma.start()
+
+    # ---- zero halo ring (edge programs; disjoint regions)
+    Zp = out_ref.shape[1]
+    Yp = out_ref.shape[2]
+    zb_z[...] = jnp.zeros_like(zb_z)
+    zb_y[...] = jnp.zeros_like(zb_y)
+    zb_c[...] = jnp.zeros_like(zb_c)
+
+    def ring(cond, src, dst_slice, sem_i):
+        @pl.when(cond)
+        def _():
+            d = pltpu.make_async_copy(src, dst_slice, ring_sems.at[sem_i])
+            d.start()
+            d.wait()
+
+    ring(iz == 0, zb_z,
+         out_ref.at[b, pl.ds(0, 1), pl.ds(1 + iy * ty, ty), :, :], 0)
+    ring(iz == nz - 1, zb_z,
+         out_ref.at[b, pl.ds(Zp - 1, 1), pl.ds(1 + iy * ty, ty), :, :], 1)
+    ring(iy == 0, zb_y,
+         out_ref.at[b, pl.ds(1 + iz * tz, tz), pl.ds(0, 1), :, :], 2)
+    ring(iy == ny - 1, zb_y,
+         out_ref.at[b, pl.ds(1 + iz * tz, tz), pl.ds(Yp - 1, 1), :, :], 3)
+    ring((iz == 0) & (iy == 0), zb_c,
+         out_ref.at[b, pl.ds(0, 1), pl.ds(0, 1), :, :], 4)
+    ring((iz == 0) & (iy == ny - 1), zb_c,
+         out_ref.at[b, pl.ds(0, 1), pl.ds(Yp - 1, 1), :, :], 5)
+    ring((iz == nz - 1) & (iy == 0), zb_c,
+         out_ref.at[b, pl.ds(Zp - 1, 1), pl.ds(0, 1), :, :], 6)
+    ring((iz == nz - 1) & (iy == ny - 1), zb_c,
+         out_ref.at[b, pl.ds(Zp - 1, 1), pl.ds(Yp - 1, 1), :, :], 7)
+
+    # final programs: wait the last two output DMAs (no successor waits)
+    @pl.when(k == total - 1)
+    def _():
+        pltpu.make_async_copy(
+            obuf.at[slot], obuf.at[slot], out_sems.at[slot]
+        ).wait()
+
+    @pl.when((k == total - 2) & (total > 1))
+    def _():
+        pltpu.make_async_copy(
+            obuf.at[slot], obuf.at[slot], out_sems.at[slot]
+        ).wait()
+
+
+def _pick_tiles_budget(Z, Y, xq, G, itemsize, budget_bytes=12_500_000):
+    """Largest (tz, ty) divisors of (Z, Y) fitting Mosaic's ~16 MB scoped
+    VMEM, accounting for the DMA buffers AND the kernel-body stack: the
+    f32 affine temporary, the carry shift copies, and the f32 accumulator
+    (measured: the first cut counted DMA buffers only and OOM'd at 17 MB).
+    """
+    best = (1, 1)
+    for tz in (16, 12, 8, 6, 4, 3, 2, 1):
+        if Z % tz:
+            continue
+        for ty in (32, 24, 16, 12, 8, 6, 4, 3, 2, 1):
+            if Y % ty:
+                continue
+            T = (tz + 2) * (ty + 2) * xq * LANES   # halo'd tile elements
+            R = tz * ty * xq * LANES               # interior elements
+            cost = 2 * (G + 1) * T * itemsize      # tbuf (2 slots)
+            cost += 2 * R * itemsize               # obuf (2 slots)
+            cost += T * (4 + 3 * itemsize)         # affine f32 + shifts
+            cost += R * 4                          # f32 accumulator
+            cost += (tz + ty + 1) * xq * LANES * itemsize  # zero ring bufs
+            cost += G * 2 * 9 * LANES * LANES * itemsize   # folded weights
+            if cost <= budget_bytes and tz * ty > best[0] * best[1]:
+                best = (tz, ty)
+    return best
+
+
+def fused_conv_folded(
+    xs: list,            # G halo'd folded grids [B, Z+2, Y+2, xq, 128]
+    mask: jax.Array,     # [B, Z+2, Y+2, xq, 128] 0/1, halo ring zero
+    w27s: list,          # G weights [27, real_c_g, cout], cout <= cpad
+    cpad: int,
+    *,
+    affines: list | None = None,  # G (scale[128] f32, bias[128] f32) pairs
+    relu: bool = True,
+) -> jax.Array:
+    """Fused folded conv site -> HALO'D masked output [B, Z+2, Y+2, xq, 128].
+
+    out_interior = mask * sum_g conv3(in_g'), halo ring written zero;
+    in_g' = relu(in_g * scale_g + bias_g) * mask when affines are given
+    (BN-eval fused), else in_g as-is (inputs already masked).
+    """
+    G = len(xs)
+    assert G >= 1 and len(w27s) == G
+    x0 = xs[0]
+    B, Zp, Yp, xq, _ = x0.shape
+    Z, Y = Zp - 2, Yp - 2
+    dt = x0.dtype
+    wms, wcs = [], []
+    for w in w27s:
+        K, cin, cout = w.shape
+        assert K == 27 and cin <= cpad and cout <= cpad
+        if cin < cpad:
+            w = jnp.pad(w, ((0, 0), (0, cpad - cin), (0, 0)))
+        wm, wc = _fold_weights(w.astype(jnp.float32), cpad, dt)
+        wms.append(wm)
+        wcs.append(wc)
+    wm = jnp.stack(wms)  # [G, 9, 128, 128]
+    wc = jnp.stack(wcs)
+    has_affine = affines is not None
+    if has_affine:
+        ab = jnp.stack([
+            jnp.stack([a.astype(jnp.float32), b.astype(jnp.float32)])
+            for a, b in affines
+        ], axis=1)  # [2, G, 128]
+    else:
+        ab = jnp.zeros((2, G, LANES), jnp.float32)
+
+    tz, ty = _pick_tiles_budget(Z, Y, xq, G, jnp.dtype(dt).itemsize)
+    grid = (B, Z // tz, Y // ty)
+    kernel = functools.partial(
+        _kernel_fused, G=G, tz=tz, ty=ty, xq=xq, cpad=cpad,
+        relu=relu, has_affine=has_affine, acc_dtype=jnp.float32,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (G + 1) + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wm
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wc
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ab
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, Zp, Yp, xq, LANES), dt),
+        scratch_shapes=[
+            pltpu.VMEM((2, G + 1, tz + 2, ty + 2, xq, LANES), dt),  # tbuf
+            pltpu.VMEM((2, tz, ty, xq, LANES), dt),                 # obuf
+            pltpu.VMEM((1, ty, xq, LANES), dt),                     # zb_z
+            pltpu.VMEM((tz, 1, xq, LANES), dt),                     # zb_y
+            pltpu.VMEM((1, 1, xq, LANES), dt),                      # zb_c
+            pltpu.SemaphoreType.DMA((2, G + 1)),                    # in_sems
+            pltpu.SemaphoreType.DMA((2,)),                          # out_sems
+            pltpu.SemaphoreType.DMA((8,)),                          # ring_sems
+        ],
+    )(*xs, mask, wm, wc, ab)
+
+
+# ------------------------------------------------- fused upsample-conv (v3)
+#
+# out = mask_fine * conv3(nn_upsample2(sum-of-groups)), computed DIRECTLY
+# from the coarse grids: out(f) = sum_d W[d] z((f+d)//2), so each fine
+# voxel reads 2 coarse taps per axis with parity-dependent combined
+# weights (8 effective taps instead of 27 — 3.4x fewer MACs than conv on
+# the upsampled grid), and the G upsampled fine grids (8x the coarse
+# bytes, written + re-read by the conv in the composed path) are never
+# materialized. Optional per-group input affine folds the preceding
+# BN-eval + ReLU + coarse-mask in (models/folded_flow.py refine_level's
+# p3 -> upsample -> n1 chain, /root/reference/torch/model.py:192-207).
+
+# per-axis tap-membership: A[p, e, d+1] = 1 iff original tap d lands on
+# the coarse neighbor e (0: lower, 1: upper) for fine parity p
+_UP_A = np.array(
+    [[[1, 0, 0], [0, 1, 1]],   # p=0: e0 <- {-1};   e1 <- {0, +1}
+     [[1, 1, 0], [0, 0, 1]]],  # p=1: e0 <- {-1, 0}; e1 <- {+1}
+    np.float32,
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _up_place(cpad: int):
+    """Constant x-axis placement patterns for the fused upsample-conv.
+
+    Pm[dx, s, o]: weight of original x-tap dx from in-block coarse slot s
+    onto fine pair-offset o (16 fine voxels per coarse block pair).
+    Pc[dx, src, o]: same for the two cross-block carries (src 0: next
+    block's slot 0 read from carry lanes [0, cpad); src 1: previous
+    block's slot F-1 read from lanes [128-cpad, 128))."""
+    F = LANES // cpad
+    Pm = np.zeros((3, F, 2 * F), np.float32)
+    Pc = np.zeros((3, 2, 2 * F), np.float32)
+    for o in range(2 * F):
+        px = o & 1
+        for ex in range(2):
+            s = (o - 1) // 2 + ex
+            for dxi in range(3):
+                a = _UP_A[px, ex, dxi]
+                if a == 0:
+                    continue
+                if 0 <= s < F:
+                    Pm[dxi, s, o] += a
+                elif s == -1:
+                    Pc[dxi, 1, o] += a  # prev block's slot F-1
+                else:  # s == F
+                    Pc[dxi, 0, o] += a  # next block's slot 0
+    return Pm, Pc
+
+
+def _fold_upsample_weights(weight27: jax.Array, cpad: int, dtype):
+    """[27, cpad, cout] -> (wm, wc) [2, 2, 2, 2, 128, 256]: per (pz, py)
+    fine parity and (ez, ey) coarse z/y-neighbor, the lane matrix taking a
+    coarse block (8 voxels x cpad) to a fine block PAIR (16 voxels)."""
+    F = LANES // cpad
+    w = weight27.astype(jnp.float32).reshape(3, 3, 3, cpad, -1)
+    cout = w.shape[-1]
+    if cout < cpad:
+        w = jnp.pad(w, ((0, 0),) * 4 + ((0, cpad - cout),))
+    A = jnp.asarray(_UP_A)
+    Pm, Pc = _up_place(cpad)
+    # combine z/y memberships with the x placement; output col layout is
+    # (hi = o // F, lo = o % F, co) -> hi * 128 + lo * cpad + co
+    def build(P):
+        # m[pz, py, ez, ey, s, o, cin, cout] =
+        #   sum_d A[pz, ez, dz] A[py, ey, dy] P[dx, s, o] w[dz, dy, dx, :, :]
+        m = jnp.einsum(
+            "azA,byB,dso,ABdce->abzysoce", A, A, jnp.asarray(P), w
+        )
+        # m: [pz, py, ez, ey, s, o, cin, cout] -> rows (s, cin), cols
+        # (o_hi, o_lo, cout)
+        P2 = m.shape[4]
+        m = m.transpose(0, 1, 2, 3, 4, 6, 5, 7)  # [..., s, cin, o, cout]
+        m = m.reshape(2, 2, 2, 2, P2 * cpad, 2 * F, cpad)
+        m = m.reshape(2, 2, 2, 2, P2 * cpad, 2, F, cpad)
+        return m.reshape(2, 2, 2, 2, P2 * cpad, 2 * LANES)
+
+    wm = build(Pm)           # rows = 8 slots * cpad = 128
+    wc_small = build(Pc)     # rows = 2 srcs * cpad
+    # expand carry rows to the 128-lane carry layout: src 0 (next slot 0)
+    # at lanes [0, cpad); src 1 (prev slot F-1) at lanes [128-cpad, 128)
+    wc = jnp.zeros((2, 2, 2, 2, LANES, 2 * LANES), jnp.float32)
+    wc = wc.at[:, :, :, :, :cpad, :].set(wc_small[:, :, :, :, :cpad])
+    wc = wc.at[:, :, :, :, LANES - cpad:, :].set(
+        wc_small[:, :, :, :, cpad:]
+    )
+    return wm.astype(dtype), wc.astype(dtype)
+
+
+def _kernel_upconv(*refs, G, tzf, tyf, xqf, xqc, cpad, relu, has_affine,
+                   acc_dtype):
+    xrefs = refs[:G]
+    cmask_ref, fmask_ref, wm_ref, wc_ref, ab_ref, out_ref = refs[G:G + 6]
+    (tbuf, mbuf, obuf, zb_z, zb_y, zb_c,
+     in_sems, out_sems, ring_sems) = refs[G + 6:]
+    tzc, tyc = tzf // 2, tyf // 2
+
+    nz = pl.num_programs(1)
+    ny = pl.num_programs(2)
+    b = pl.program_id(0)
+    iz = pl.program_id(1)
+    iy = pl.program_id(2)
+    k = (b * nz + iz) * ny + iy
+    total = pl.num_programs(0) * nz * ny
+
+    def in_dmas(step, slot):
+        bb = step // (nz * ny)
+        r = step % (nz * ny)
+        zc0 = (r // ny) * tzc
+        yc0 = (r % ny) * tyc
+        zf0 = (r // ny) * tzf
+        yf0 = (r % ny) * tyf
+        dmas = []
+        for g in range(G):
+            dmas.append(pltpu.make_async_copy(
+                xrefs[g].at[bb, pl.ds(zc0, tzc + 2), pl.ds(yc0, tyc + 2),
+                            :, :],
+                tbuf.at[slot, g],
+                in_sems.at[slot, g],
+            ))
+        dmas.append(pltpu.make_async_copy(
+            cmask_ref.at[bb, pl.ds(zc0, tzc + 2), pl.ds(yc0, tyc + 2), :, :],
+            tbuf.at[slot, G],
+            in_sems.at[slot, G],
+        ))
+        dmas.append(pltpu.make_async_copy(
+            fmask_ref.at[bb, pl.ds(1 + zf0, tzf), pl.ds(1 + yf0, tyf), :, :],
+            mbuf.at[slot],
+            in_sems.at[slot, G + 1],
+        ))
+        return dmas
+
+    @pl.when(k == 0)
+    def _():
+        for d in in_dmas(0, 0):
+            d.start()
+
+    @pl.when(k + 1 < total)
+    def _():
+        for d in in_dmas(k + 1, (k + 1) % 2):
+            d.start()
+
+    @pl.when(k > 1)
+    def _():
+        pltpu.make_async_copy(
+            obuf.at[k % 2], obuf.at[k % 2], out_sems.at[k % 2]
+        ).wait()
+
+    for d in in_dmas(k, k % 2):
+        d.wait()
+
+    slot = k % 2
+    cm = tbuf[slot, G]
+    rows_c = tzc * tyc * xqc
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, LANES), 3)
+    # per-(pz, py) fine-parity accumulators over the coarse tile
+    subs = []
+    ts, carries = [], []
+    for g in range(G):
+        t = tbuf[slot, g]
+        if has_affine:
+            tf = t.astype(jnp.float32) * ab_ref[0, g] + ab_ref[1, g]
+            if relu:
+                tf = jnp.maximum(tf, 0.0)
+            t = (tf * cm.astype(jnp.float32)).astype(t.dtype)
+        zrow = jnp.zeros_like(t[:, :, :1])
+        nxt = jnp.concatenate([t[:, :, 1:], zrow], axis=2)
+        prv = jnp.concatenate([zrow, t[:, :, :-1]], axis=2)
+        ts.append(t)
+        carries.append(jnp.where(lane < cpad, nxt, prv))
+    for pz in range(2):
+        for py in range(2):
+            acc = jnp.zeros((rows_c, 2 * LANES), acc_dtype)
+            for g in range(G):
+                for ez in range(2):
+                    for ey in range(2):
+                        lhs_m = ts[g][
+                            pz + ez:pz + ez + tzc, py + ey:py + ey + tyc
+                        ].reshape(rows_c, LANES)
+                        acc = acc + jnp.dot(
+                            lhs_m, wm_ref[g, pz, py, ez, ey],
+                            preferred_element_type=acc_dtype,
+                        )
+                        lhs_c = carries[g][
+                            pz + ez:pz + ez + tzc, py + ey:py + ey + tyc
+                        ].reshape(rows_c, LANES)
+                        acc = acc + jnp.dot(
+                            lhs_c, wc_ref[g, pz, py, ez, ey],
+                            preferred_element_type=acc_dtype,
+                        )
+            # [rows_c, 256] -> fine blocks [tzc, tyc, 2 xqc, 128] -> crop
+            sub = acc.reshape(tzc, tyc, xqc * 2, LANES)[:, :, :xqf]
+            subs.append(sub)
+    full = jnp.stack(subs).reshape(2, 2, tzc, tyc, xqf, LANES)
+    full = full.transpose(2, 0, 3, 1, 4, 5).reshape(tzf, tyf, xqf, LANES)
+    mt = mbuf[slot].astype(acc_dtype)
+    obuf[slot] = (full * mt).astype(out_ref.dtype)
+    pltpu.make_async_copy(
+        obuf.at[slot],
+        out_ref.at[b, pl.ds(1 + iz * tzf, tzf), pl.ds(1 + iy * tyf, tyf),
+                   :, :],
+        out_sems.at[slot],
+    ).start()
+
+    # ---- zero halo ring (edge programs; disjoint regions)
+    Zp = out_ref.shape[1]
+    Yp = out_ref.shape[2]
+    zb_z[...] = jnp.zeros_like(zb_z)
+    zb_y[...] = jnp.zeros_like(zb_y)
+    zb_c[...] = jnp.zeros_like(zb_c)
+
+    def ring(cond, src, dst_slice, sem_i):
+        @pl.when(cond)
+        def _():
+            d = pltpu.make_async_copy(src, dst_slice, ring_sems.at[sem_i])
+            d.start()
+            d.wait()
+
+    ring(iz == 0, zb_z,
+         out_ref.at[b, pl.ds(0, 1), pl.ds(1 + iy * tyf, tyf), :, :], 0)
+    ring(iz == nz - 1, zb_z,
+         out_ref.at[b, pl.ds(Zp - 1, 1), pl.ds(1 + iy * tyf, tyf), :, :], 1)
+    ring(iy == 0, zb_y,
+         out_ref.at[b, pl.ds(1 + iz * tzf, tzf), pl.ds(0, 1), :, :], 2)
+    ring(iy == ny - 1, zb_y,
+         out_ref.at[b, pl.ds(1 + iz * tzf, tzf), pl.ds(Yp - 1, 1), :, :], 3)
+    ring((iz == 0) & (iy == 0), zb_c,
+         out_ref.at[b, pl.ds(0, 1), pl.ds(0, 1), :, :], 4)
+    ring((iz == 0) & (iy == ny - 1), zb_c,
+         out_ref.at[b, pl.ds(0, 1), pl.ds(Yp - 1, 1), :, :], 5)
+    ring((iz == nz - 1) & (iy == 0), zb_c,
+         out_ref.at[b, pl.ds(Zp - 1, 1), pl.ds(0, 1), :, :], 6)
+    ring((iz == nz - 1) & (iy == ny - 1), zb_c,
+         out_ref.at[b, pl.ds(Zp - 1, 1), pl.ds(Yp - 1, 1), :, :], 7)
+
+    @pl.when(k == total - 1)
+    def _():
+        pltpu.make_async_copy(
+            obuf.at[slot], obuf.at[slot], out_sems.at[slot]
+        ).wait()
+
+    @pl.when((k == total - 2) & (total > 1))
+    def _():
+        pltpu.make_async_copy(
+            obuf.at[slot], obuf.at[slot], out_sems.at[slot]
+        ).wait()
+
+
+def _pick_tiles_upconv(Zf, Yf, xqf, xqc, G, itemsize,
+                       budget_bytes=12_000_000):
+    """(tzf, tyf) for the fused upsample-conv under the VMEM budget: fine
+    mask/out/assembly buffers + coarse DMA tiles + the [G, 16, 128, 256]
+    folded weights (the dominant fixed cost)."""
+    best = (2, 2)
+    wbytes = G * 2 * 16 * LANES * 2 * LANES * itemsize
+    for tzf in (16, 12, 8, 6, 4, 2):
+        if Zf % tzf or tzf % 2:
+            continue
+        for tyf in (32, 24, 16, 12, 8, 6, 4, 2):
+            if Yf % tyf or tyf % 2:
+                continue
+            tzc, tyc = tzf // 2, tyf // 2
+            Tf = tzf * tyf * xqf * LANES
+            Tc = (tzc + 2) * (tyc + 2) * xqc * LANES
+            cost = wbytes
+            cost += 2 * 2 * Tf * itemsize          # mbuf + obuf (2 slots)
+            cost += 2 * (G + 1) * Tc * itemsize    # coarse tbuf
+            cost += Tc * (4 + 3 * itemsize)        # affine f32 + shifts
+            cost += tzc * tyc * xqc * 2 * LANES * 4  # f32 accumulator
+            cost += Tf * (4 + itemsize)            # parity stack + mask f32
+            cost += (tzf + tyf + 1) * xqf * LANES * itemsize  # ring bufs
+            if cost <= budget_bytes and tzf * tyf > best[0] * best[1]:
+                best = (tzf, tyf)
+    return best
+
+
+def fused_upconv_folded(
+    xs: list,            # G COARSE halo'd grids [B, Zc+2, Yc+2, xqc, 128]
+    cmask: jax.Array,    # coarse mask, same shape
+    fmask: jax.Array,    # FINE mask [B, 2Zc+2, 2Yc+2, xqf, 128]
+    w27s: list,          # G weights [27, real_c_g, cout <= cpad]
+    cpad: int,
+    *,
+    affines: list | None = None,
+    relu: bool = True,
+) -> jax.Array:
+    """fmask * conv3(nn_up2(sum_g in_g')) as a halo'd FINE folded grid;
+    in_g' = relu(in_g * a + b) * cmask when affines given (fused BN-eval).
+    """
+    G = len(xs)
+    x0 = xs[0]
+    B, Zcp, Ycp, xqc, _ = x0.shape
+    Zc, Yc = Zcp - 2, Ycp - 2
+    Zf, Yf = 2 * Zc, 2 * Yc
+    _, Zfp, Yfp, xqf, _ = fmask.shape
+    assert (Zfp, Yfp) == (Zf + 2, Yf + 2), (fmask.shape, x0.shape)
+    dt = x0.dtype
+    wms, wcs = [], []
+    for w in w27s:
+        K, cin, cout = w.shape
+        assert K == 27 and cin <= cpad and cout <= cpad
+        if cin < cpad:
+            w = jnp.pad(w, ((0, 0), (0, cpad - cin), (0, 0)))
+        wm, wc = _fold_upsample_weights(w, cpad, dt)
+        wms.append(wm)
+        wcs.append(wc)
+    wm = jnp.stack(wms)  # [G, 2, 2, 2, 2, 128, 256]
+    wc = jnp.stack(wcs)
+    has_affine = affines is not None
+    if has_affine:
+        ab = jnp.stack([
+            jnp.stack([a.astype(jnp.float32), b.astype(jnp.float32)])
+            for a, b in affines
+        ], axis=1)
+    else:
+        ab = jnp.zeros((2, G, LANES), jnp.float32)
+
+    tzf, tyf = _pick_tiles_upconv(Zf, Yf, xqf, xqc, G,
+                                  jnp.dtype(dt).itemsize)
+    tzc, tyc = tzf // 2, tyf // 2
+    grid = (B, Zf // tzf, Yf // tyf)
+    kernel = functools.partial(
+        _kernel_upconv, G=G, tzf=tzf, tyf=tyf, xqf=xqf, xqc=xqc, cpad=cpad,
+        relu=relu, has_affine=has_affine, acc_dtype=jnp.float32,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (G + 2) + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wm
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wc
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ab
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, Zf + 2, Yf + 2, xqf, LANES), dt),
+        scratch_shapes=[
+            pltpu.VMEM((2, G + 1, tzc + 2, tyc + 2, xqc, LANES), dt),
+            pltpu.VMEM((2, tzf, tyf, xqf, LANES), dt),   # mbuf (fine mask)
+            pltpu.VMEM((2, tzf, tyf, xqf, LANES), dt),   # obuf
+            pltpu.VMEM((1, tyf, xqf, LANES), dt),        # zb_z
+            pltpu.VMEM((tzf, 1, xqf, LANES), dt),        # zb_y
+            pltpu.VMEM((1, 1, xqf, LANES), dt),          # zb_c
+            pltpu.SemaphoreType.DMA((2, G + 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+    )(*xs, cmask, fmask, wm, wc, ab)

@@ -323,6 +323,18 @@ class Trainer:
                     and (self.iteration % opts.log_every) == 0
                 )
                 metrics, lw = self.run_step(batch, with_metrics, dev_batch=dev)
+                # only force the device->host sync on the log cadence
+                ovf = (
+                    int(metrics.get("overflow", 0)) if with_metrics else 0
+                )
+                if ovf > 0:
+                    # sparse-execution capacity overflow: voxels dropped at
+                    # a compaction. Raise occupancy_fractions (or use
+                    # tools/train.py --autotune_capacity).
+                    print(
+                        f"[capacity] WARNING iter {self.iteration}: "
+                        f"{ovf} voxels overflowed a level capacity"
+                    )
                 accum.add(metrics, with_metrics)
                 if opts.log_every > 0 and self.iteration % opts.log_every == 0:
                     took = time.time() - start

@@ -200,3 +200,144 @@ def test_subm_conv_folded_interpret(rng):
         )
     finally:
         PC.pl.pallas_call = orig
+
+
+def test_fused_conv_folded_interpret(rng):
+    """Fused conv site kernel (v3: multi-group + BN affine + mask + halo'd
+    output) vs the composed XLA reference, interpret mode."""
+    import jax
+    import jax.numpy as jnp
+
+    import sgnn_tpu.ops.pallas.conv3d_folded as PC
+    from sgnn_tpu.ops import folded as FO
+
+    orig = PC.pl.pallas_call
+    PC.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        B, Z, Y, X = 1, 8, 16, 16
+        cpad = 16
+        widths = (16, 8)
+        G = len(widths)
+        mask_dense = rng.rand(B, Z, Y, X) > 0.4
+        fm = FO.fold_mask(jnp.asarray(mask_dense), cpad, jnp.float32)
+        xs, ws, affines, dens = [], [], [], []
+        for c in widths:
+            d = (rng.randn(B, Z, Y, X, c) * mask_dense[..., None]).astype(
+                np.float32
+            )
+            dens.append(d)
+            xs.append(FO.fold(jnp.asarray(d), cpad))
+            ws.append(jnp.asarray(rng.randn(27, c, 12).astype(np.float32) * 0.2))
+            a = np.zeros(cpad, np.float32)
+            b = np.zeros(cpad, np.float32)
+            a[:c] = rng.rand(c) + 0.5
+            b[:c] = rng.randn(c) * 0.1
+            affines.append((
+                jnp.asarray(np.tile(a, FO.LANES // cpad)),
+                jnp.asarray(np.tile(b, FO.LANES // cpad)),
+            ))
+
+        for use_affine in (False, True):
+            out = PC.fused_conv_folded(
+                [x.data for x in xs], fm.data, ws, cpad,
+                affines=affines if use_affine else None, relu=True,
+            )
+            fg_out = FO.FGrid(out, (Z, Y, X), 12, cpad)
+            got = np.asarray(FO.unfold(fg_out))
+            # reference: per-group (affine+relu+mask) -> conv -> sum -> mask
+            acc = None
+            for d, w, (av, bv) in zip(dens, ws, affines):
+                c = d.shape[-1]
+                t = d
+                if use_affine:
+                    t = np.maximum(
+                        d * np.asarray(av)[None, None, None, None, :c]
+                        + np.asarray(bv)[None, None, None, None, :c], 0.0
+                    ) * mask_dense[..., None]
+                wk = np.asarray(w).reshape(3, 3, 3, c, 12)
+                ref = jax.lax.conv_general_dilated(
+                    jnp.asarray(t), jnp.asarray(wk),
+                    window_strides=(1, 1, 1), padding=[(1, 1)] * 3,
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                )
+                acc = ref if acc is None else acc + ref
+            ref = np.asarray(acc) * mask_dense[..., None]
+            np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+            # halo ring written zero
+            assert (np.asarray(out)[:, 0] == 0).all()
+            assert (np.asarray(out)[:, -1] == 0).all()
+            assert (np.asarray(out)[:, :, 0] == 0).all()
+            assert (np.asarray(out)[:, :, -1] == 0).all()
+    finally:
+        PC.pl.pallas_call = orig
+
+
+def test_fused_upconv_folded_interpret(rng):
+    """Fused upsample->conv kernel vs composed reference: BN affine ->
+    2x NN upsample -> 3^3 conv -> fine mask, interpret mode."""
+    import jax
+    import jax.numpy as jnp
+
+    import sgnn_tpu.ops.pallas.conv3d_folded as PC
+    from sgnn_tpu.ops import folded as FO
+
+    orig = PC.pl.pallas_call
+    PC.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        B, Zc, Yc, Xc = 1, 4, 8, 16
+        Zf, Yf, Xf = 2 * Zc, 2 * Yc, 2 * Xc
+        cpad = 16
+        widths = (16, 8)
+        cmask_dense = rng.rand(B, Zc, Yc, Xc) > 0.4
+        fmask_dense = np.repeat(np.repeat(np.repeat(
+            cmask_dense, 2, 1), 2, 2), 2, 3)
+        # make the fine mask differ from the pure upsample in places
+        fmask_dense = fmask_dense & (rng.rand(B, Zf, Yf, Xf) > 0.1)
+        cfm = FO.fold_mask(jnp.asarray(cmask_dense), cpad, jnp.float32)
+        ffm = FO.fold_mask(jnp.asarray(fmask_dense), cpad, jnp.float32)
+        xs, ws, affines, dens = [], [], [], []
+        for c in widths:
+            d = (rng.randn(B, Zc, Yc, Xc, c) * cmask_dense[..., None]
+                 ).astype(np.float32)
+            dens.append(d)
+            xs.append(FO.fold(jnp.asarray(d), cpad))
+            ws.append(jnp.asarray(
+                rng.randn(27, c, 12).astype(np.float32) * 0.2))
+            a = np.zeros(cpad, np.float32)
+            b = np.zeros(cpad, np.float32)
+            a[:c] = rng.rand(c) + 0.5
+            b[:c] = rng.randn(c) * 0.1
+            affines.append((
+                jnp.asarray(np.tile(a, FO.LANES // cpad)),
+                jnp.asarray(np.tile(b, FO.LANES // cpad)),
+            ))
+
+        for use_affine in (False, True):
+            out = PC.fused_upconv_folded(
+                [x.data for x in xs], cfm.data, ffm.data, ws, cpad,
+                affines=affines if use_affine else None, relu=True,
+            )
+            got = np.asarray(FO.unfold(FO.FGrid(out, (Zf, Yf, Xf), 12, cpad)))
+            acc = None
+            for d, w, (av, bv) in zip(dens, ws, affines):
+                c = d.shape[-1]
+                t = d
+                if use_affine:
+                    t = np.maximum(
+                        d * np.asarray(av)[None, None, None, None, :c]
+                        + np.asarray(bv)[None, None, None, None, :c], 0.0
+                    ) * cmask_dense[..., None]
+                tu = np.repeat(np.repeat(np.repeat(t, 2, 1), 2, 2), 2, 3)
+                wk = np.asarray(w).reshape(3, 3, 3, c, 12)
+                ref = jax.lax.conv_general_dilated(
+                    jnp.asarray(tu), jnp.asarray(wk),
+                    window_strides=(1, 1, 1), padding=[(1, 1)] * 3,
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                )
+                acc = ref if acc is None else acc + ref
+            ref = np.asarray(acc) * fmask_dense[..., None]
+            np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+            for ax, idx in ((1, 0), (1, -1), (2, 0), (2, -1)):
+                assert (np.take(np.asarray(out), idx, ax) == 0).all()
+    finally:
+        PC.pl.pallas_call = orig

@@ -57,6 +57,13 @@ def parse_args():
     # TPU-specific
     p.add_argument("--num_devices", type=int, default=0, help="0 = all")
     p.add_argument("--input_capacity", type=int, default=0)
+    p.add_argument("--autotune_capacity", type=int, default=0,
+                   help="sparse execution: derive per-level capacities "
+                        "from the target-occupancy statistics of N sampled "
+                        "train chunks (0 = use --occupancy_fractions "
+                        "defaults); see sgnn_tpu/data/capacity.py")
+    p.add_argument("--occupancy_fractions", type=float, nargs="+",
+                   default=[1.0, 0.5, 0.25, 0.125])
     p.add_argument("--max_steps", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--execution", default="dense_flow",
@@ -102,6 +109,17 @@ def main():
     use_loss_masking = args.use_loss_masking and not overfit
     print(f"#train files = {len(train_files)}  #val files = {len(val_files)}")
 
+    occupancy_fractions = tuple(args.occupancy_fractions)
+    if args.autotune_capacity > 0:
+        from sgnn_tpu.data.capacity import estimate_occupancy_fractions
+
+        occupancy_fractions, _ = estimate_occupancy_fractions(
+            train_files, args.num_hierarchy_levels, args.truncation,
+            sample=args.autotune_capacity,
+        )
+        print(f"autotuned occupancy_fractions = "
+              f"{tuple(round(f, 4) for f in occupancy_fractions)}")
+
     opts = TrainOptions(
         data_path=args.data_path,
         save=args.save,
@@ -131,6 +149,7 @@ def main():
         seed=args.seed,
         num_devices=args.num_devices,
         input_capacity=args.input_capacity,
+        occupancy_fractions=occupancy_fractions,
         max_steps=args.max_steps,
         execution=args.execution,
         compute_dtype=args.compute_dtype,
