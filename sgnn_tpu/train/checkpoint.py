@@ -63,3 +63,55 @@ def load_checkpoint(path, state_template):
             )
         leaves.append(val)
     return jax.tree_util.tree_unflatten(treedef, leaves), meta
+
+
+# ------------------------------------------------------ orbax async backend
+#
+# Pod-scale alternative to the .npz format: Orbax writes each host's
+# shard of a distributed array in parallel and (with AsyncCheckpointer)
+# overlaps serialization with the next training steps — the multi-host
+# analog of the reference's torch.save (train.py:305). The .npz backend
+# remains the default for single-host runs; both store the same TrainState
+# pytree, and `latest_checkpoint` recognizes either.
+
+
+class OrbaxCheckpointer:
+    """Async Orbax checkpointing of TrainState + progress metadata.
+
+    Usage:
+        ck = OrbaxCheckpointer()
+        ck.save(path_dir, state, epoch=e, iteration=i)   # returns quickly
+        ck.wait()                                        # barrier (or del)
+        state, meta = ck.load(path_dir, state_template)
+    """
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+    def save(self, path, state, *, epoch: int, iteration: int, force=True):
+        path = os.path.abspath(path)
+        meta = {"epoch": int(epoch), "iteration": int(iteration)}
+        with open(path + ".meta.json.tmp", "w") as f:
+            json.dump(meta, f)
+        os.replace(path + ".meta.json.tmp", path + ".meta.json")
+        self._ckptr.save(path, args=self._ocp.args.StandardSave(state),
+                         force=force)
+
+    def wait(self):
+        self._ckptr.wait_until_finished()
+
+    def load(self, path, state_template):
+        path = os.path.abspath(path)
+        self.wait()
+        restored = self._ckptr.restore(
+            path, args=self._ocp.args.StandardRestore(state_template)
+        )
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+        return restored, meta
+
+    def close(self):
+        self._ckptr.close()

@@ -70,6 +70,9 @@ class TrainOptions:
     max_steps: int = 0  # 0 = unlimited (for smoke tests/benchmarks)
     log_every: int = 20
     ckpt_every: int = 2000
+    # "npz" (single-host, dependency-free) or "orbax" (async, multi-host
+    # sharded writes — pod-scale; see train/checkpoint.py)
+    ckpt_backend: str = "npz"
 
 
 class Trainer:
@@ -102,11 +105,14 @@ class Trainer:
         self.state = create_train_state(params, stats, opts.weight_decay)
         self.start_epoch = opts.start_epoch
         self.iteration = 0
+        self._orbax = None
+        if opts.ckpt_backend == "orbax":
+            self._orbax = CK.OrbaxCheckpointer()
         retrain = opts.retrain
         if retrain == "auto":
             retrain = latest_checkpoint(opts.save) or ""
         if retrain:
-            self.state, meta = CK.load_checkpoint(retrain, self.state)
+            self.state, meta = self._load_ckpt(retrain)
             self.start_epoch = (
                 opts.start_epoch if opts.start_epoch != 0 else meta["epoch"]
             )
@@ -114,6 +120,24 @@ class Trainer:
             print(f"loaded checkpoint {retrain} (epoch {self.start_epoch})")
         self._steps = {}
         self._eval_steps = {}
+
+    # ------------------------------------------------------- checkpoint IO
+    def _load_ckpt(self, path):
+        if os.path.isdir(path):  # orbax layout
+            ck = self._orbax or CK.OrbaxCheckpointer()
+            return ck.load(path, self.state)
+        return CK.load_checkpoint(path, self.state)
+
+    def _save_ckpt(self, path, epoch):
+        if self._orbax is not None:
+            # async: serialization overlaps the following train steps
+            self._orbax.save(
+                path, self.state, epoch=epoch, iteration=self.iteration
+            )
+        else:
+            CK.save_checkpoint(
+                path, self.state, epoch=epoch, iteration=self.iteration
+            )
 
     # ---------------------------------------------------------- step cache
     def _train_step(self, n_active, do_surf, with_metrics):
@@ -349,12 +373,12 @@ class Trainer:
                         file=sys.stdout,
                     )
                 if opts.ckpt_every and self.iteration % opts.ckpt_every == 0:
-                    CK.save_checkpoint(
+                    self._save_ckpt(
                         os.path.join(
                             log_dir,
                             f"model-iter{self.iteration}-epoch{epoch}.ckpt",
                         ),
-                        self.state, epoch=epoch, iteration=self.iteration,
+                        epoch,
                     )
                 if opts.max_steps and self.iteration >= opts.max_steps:
                     done = True
@@ -379,12 +403,14 @@ class Trainer:
                         print(f"[vis] skipped: {e}")
             if val_loader is not None and not done:
                 self.validate(val_loader, val_f, epoch)
-            CK.save_checkpoint(
+            self._save_ckpt(
                 os.path.join(log_dir, f"model-epoch-{epoch}.ckpt"),
-                self.state, epoch=epoch + 1, iteration=self.iteration,
+                epoch + 1,
             )
             if done:
                 break
+        if self._orbax is not None:
+            self._orbax.wait()
         log_f.close()
         if val_f:
             val_f.close()

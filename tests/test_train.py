@@ -216,3 +216,29 @@ def test_visualize_batch_dense_flow(chunk_files, tmp_path):
     trainer.visualize_batch(batch, out_dir)
     files = os.listdir(out_dir)
     assert any("input-mesh" in f for f in files), files
+
+
+def test_orbax_async_checkpoint_roundtrip(tmp_path):
+    """Orbax async backend: save returns before the write completes, wait()
+    barriers, restore round-trips the TrainState exactly."""
+    import jax.numpy as jnp
+
+    from sgnn_tpu.train.checkpoint import OrbaxCheckpointer
+    from sgnn_tpu.train.state import create_train_state
+
+    params = {"w": jnp.arange(12.0).reshape(3, 4), "b": jnp.zeros(4)}
+    stats = {"bn": {"mean": jnp.ones(4), "var": jnp.full(4, 2.0)}}
+    state = create_train_state(params, stats)
+    ck = OrbaxCheckpointer()
+    p = str(tmp_path / "ck1")
+    ck.save(p, state, epoch=3, iteration=77)
+    ck.wait()
+    restored, meta = ck.load(p, jax.tree.map(jnp.zeros_like, state))
+    assert meta == {"epoch": 3, "iteration": 77}
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(state),
+        jax.tree_util.tree_leaves_with_path(restored),
+    ):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ck.close()

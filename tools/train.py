@@ -64,6 +64,9 @@ def parse_args():
                         "defaults); see sgnn_tpu/data/capacity.py")
     p.add_argument("--occupancy_fractions", type=float, nargs="+",
                    default=[1.0, 0.5, 0.25, 0.125])
+    p.add_argument("--ckpt_backend", default="npz",
+                   choices=["npz", "orbax"],
+                   help="orbax = async multi-host sharded checkpointing")
     p.add_argument("--max_steps", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--execution", default="dense_flow",
@@ -154,6 +157,7 @@ def main():
         execution=args.execution,
         compute_dtype=args.compute_dtype,
         scheduler_step_size=args.scheduler_step_size,
+        ckpt_backend=args.ckpt_backend,
     )
     trainer = Trainer(opts)
 
