@@ -73,11 +73,11 @@ def _unet(params, stats, fg, fm):
     x = _resblock(params["block"], stats["block"], fg, fm)
     if "deeper" not in params:
         return [x]
-    y = _bn_groups(params["down_bn"], stats["down_bn"], [x], fm)
-    down = FO.strided_conv_folded(y, params["down_conv"],
-                                  params["down_conv"].shape[-1])
-    down_fm = FO.mask_down_folded(fm)
-    down = down.with_data(down.data * down_fm.data)
+    # down path: BN + stride-2 conv + mask-down as ONE fused kernel
+    down, down_fm = FO.downconv_fused(
+        x, fm, params["down_conv"], params["down_conv"].shape[-1],
+        bn_params=params["down_bn"], bn_stats=stats["down_bn"],
+    )
     deep = _unet(params["deeper"], stats["deeper"], down, down_fm)
     ups = []
     for d in deep:
@@ -86,14 +86,17 @@ def _unet(params, stats, fg, fm):
     return [x, *ups]
 
 
-def _encoder_layer(params, stats, groups, fm):
+def _encoder_layer(params, stats, groups, fm, cpad_out=None):
     x = FO.subm_conv_fused(groups, fm, params["p1"],
                            params["p1"].shape[-1])
     x = _resblock(params["p2"], stats["p2"], x, fm)
     y = _bn_groups(params["p2_bn"], stats["p2_bn"], [x], fm)[0]
-    down = FO.strided_conv_folded([y], params["p3"], params["p3"].shape[-1])
-    down_fm = FO.mask_down_folded(fm)
-    down = down.with_data(down.data * down_fm.data)
+    # y is also the skip output, so its BN stays materialized; the
+    # strided conv + mask-down fuse into one kernel (widening the lane
+    # budget across the stride when level 0 runs at cpad 8)
+    down, down_fm = FO.downconv_fused(y, fm, params["p3"],
+                                      params["p3"].shape[-1],
+                                      cpad_out=cpad_out)
     z = _bn_groups(params["p3_bn"], stats["p3_bn"], [down], down_fm)[0]
     return z, down_fm, (y, fm)
 
@@ -106,9 +109,14 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
     Z, Y, X = st.spatial_size
     B = st.batch_size
 
+    # level 0 (full resolution, the most expensive level) runs at cpad 8
+    # when its live widths allow: 16 voxels per vector register — half the
+    # GEMM rows and half the grid bytes of every level-0 op
+    cpad0 = 8 if (cfg.input_nf <= 8 and cfg.nf_per_level[0] <= 8
+                  and X % 16 == 0) else CPAD
     fg, fm = FO.scatter_sparse(
         st.locs, st.feats, st.num_valid, st.spatial_size, B,
-        cpad=CPAD, dtype=dt,
+        cpad=cpad0, dtype=dt, feat_bound=cfg.truncation,
     )
 
     # ---- encoder sparse levels (folded)
@@ -118,7 +126,11 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
         x, m, ft2 = _encoder_layer(
             params["encoder"]["process_sparse"][lvl],
             stats["encoder"]["process_sparse"][lvl], [x], m,
+            cpad_out=CPAD if lvl == 0 and cpad0 != CPAD else None,
         )
+        if lvl == 0 and cpad0 != CPAD:
+            # the full-res skip is consumed at cpad 16 (surface p1 site)
+            ft2 = (FO.repack_cpad(ft2[0], CPAD), ft2[1])
         skips.append(ft2)
     skips.append((x, m))  # ft3 at 1/8 res
 

@@ -131,11 +131,19 @@ def scatter_sparse(
     batch_size: int,
     cpad: int = 16,
     dtype=jnp.bfloat16,
+    feat_bound: float | None = None,
 ) -> tuple[FGrid, FGrid]:
-    """Sparse rows -> (feature FGrid, mask FGrid) with ONE scatter each.
+    """Sparse rows -> (feature FGrid, mask FGrid), the input boundary of
+    the folded execution (replaces sparse_to_dense + fold; the reference's
+    scn.InputLayer, model.py:31).
 
-    Replaces sparse_to_dense + fold (the input boundary of the folded
-    execution; the reference's scn.InputLayer, model.py:31).
+    TPU scatter costs ~10 ns per update row regardless of width, so the
+    scatter COUNT is the cost. With ``feat_bound`` B (a static bound with
+    |feats| < B, e.g. the SDF truncation) and Cin == 1, features and mask
+    are ONE f32 scatter: value = feat + K (K = next pow2 > B, so valid
+    voxels are strictly positive and the f32 bias round-trip loses only
+    ulp(K)/2 ~ 5e-7); the mask is decoded by sign and the bias removed in
+    one cheap grid pass. Without ``feat_bound``: two scatters (exact).
     """
     Z, Y, X = dims
     F = LANES // cpad
@@ -158,26 +166,37 @@ def scatter_sparse(
     base = jnp.where(valid, base, jnp.int32(-(1 << 30)))
     nflat = B * (Z + 2) * (Y + 2) * xq * LANES
     shape5 = (B, Z + 2, Y + 2, xq, LANES)
-    if Cin == 1:
-        fflat = jnp.zeros((nflat,), dtype).at[base].set(
-            feats[:, 0].astype(dtype), mode="drop", unique_indices=True
-        )
+    if feat_bound is not None and Cin == 1:
+        K = float(2 ** int(np.ceil(np.log2(feat_bound + 1e-6))))
+        if K <= feat_bound:
+            K *= 2.0
+        enc = jnp.zeros((nflat,), jnp.float32).at[base].set(
+            feats[:, 0].astype(jnp.float32) + K,
+            mode="drop", unique_indices=True,
+        ).reshape(shape5)
+        m0 = (enc > 0).astype(dtype)           # 1.0 at lane 0 of voxels
+        data = (enc - K * (enc > 0)).astype(dtype)
     else:
-        idx = (base[:, None] + jnp.arange(Cin)[None, :]).reshape(-1)
-        fflat = jnp.zeros((nflat,), dtype).at[idx].set(
-            feats.astype(dtype).reshape(-1), mode="drop",
-            unique_indices=True,
+        if Cin == 1:
+            fflat = jnp.zeros((nflat,), dtype).at[base].set(
+                feats[:, 0].astype(dtype), mode="drop", unique_indices=True
+            )
+        else:
+            idx = (base[:, None] + jnp.arange(Cin)[None, :]).reshape(-1)
+            fflat = jnp.zeros((nflat,), dtype).at[idx].set(
+                feats.astype(dtype).reshape(-1), mode="drop",
+                unique_indices=True,
+            )
+        data = fflat.reshape(shape5)
+        mflat = jnp.zeros((nflat,), dtype).at[base].set(
+            jnp.ones((cap,), dtype), mode="drop", unique_indices=True
         )
-    data = fflat.reshape(shape5)
-    # mask: scatter 1.0 at each voxel's lane 0, then replicate to all
-    # cpad lanes with one constant lane-GEMM (same matrix as the
-    # occupancy broadcast)
-    mflat = jnp.zeros((nflat,), dtype).at[base].set(
-        jnp.ones((cap,), dtype), mode="drop", unique_indices=True
-    )
+        m0 = mflat.reshape(shape5)
+    # mask: 1.0 at each voxel's lane 0, replicated to all cpad lanes with
+    # one constant lane-GEMM (same matrix as the occupancy broadcast)
     R = jnp.asarray(_occ_replicate(cpad), dtype)
     mdata = jax.lax.dot_general(
-        mflat.reshape(shape5), R,
+        m0, R,
         dimension_numbers=(((4,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dtype)
@@ -558,3 +577,125 @@ def upconv_fused(groups: list, cfm: FGrid, ffm: FGrid, w27: jax.Array,
         affines=affines if bn_params is not None else None, relu=relu,
     )
     return FGrid(out, (2 * Zc, 2 * Yc, 2 * Xc), cout, cpad)
+
+
+def downconv_fused(fg: FGrid, fm: FGrid, w8: jax.Array, cout: int, *,
+                   bn_params: dict | None = None,
+                   bn_stats: dict | None = None, relu: bool = True,
+                   eps: float = 1e-4,
+                   cpad_out: int | None = None) -> tuple[FGrid, FGrid]:
+    """Fused stride-2 down site: [optional eval-BN + ReLU + fine mask] ->
+    2^3 stride-2 conv -> coarse-mask (maxpool2, same pass) -> masked
+    halo'd coarse FGrid + coarse mask FGrid, ONE Pallas kernel
+    (ops/pallas/conv3d_folded.py:fused_downconv_folded)."""
+    from sgnn_tpu.ops.pallas.conv3d_folded import fused_downconv_folded
+
+    cpad = fg.cpad
+    F = LANES // cpad
+    affine = None
+    if bn_params is not None:
+        c = fg.real_c
+        inv = jax.lax.rsqrt(
+            bn_stats["var"][:c].astype(jnp.float32) + eps
+        ) * bn_params["scale"][:c].astype(jnp.float32)
+        beta = bn_params["bias"][:c].astype(jnp.float32) \
+            - bn_stats["mean"][:c].astype(jnp.float32) * inv
+        a = jnp.zeros((cpad,), jnp.float32).at[:c].set(inv)
+        b = jnp.zeros((cpad,), jnp.float32).at[:c].set(beta)
+        affine = (jnp.tile(a, F), jnp.tile(b, F))
+    out, mout = fused_downconv_folded(
+        fg.data, fm.data, w8[:, :fg.real_c, :], cpad,
+        affine=affine, relu=relu, cpad_out=cpad_out,
+    )
+    co = cpad_out or cpad
+    Z, Y, X = fg.dims
+    dims_c = (Z // 2, Y // 2, X // 2)
+    return FGrid(out, dims_c, cout, co), FGrid(mout, dims_c, co, co)
+
+
+# ---------------------------------------------------- mixed-cpad machinery
+#
+# Encoder level 0 is the most expensive level (full resolution) and its
+# live widths are tiny (input_nf = 1 -> nf0 = 8). Running it at cpad = 8
+# packs 16 voxels per vector register instead of 8 — HALF the GEMM rows
+# and HALF the grid bytes for every level-0 op. The stride-2 transition
+# to level 1 maps one cpad-8 fine block (16 voxels) onto exactly one
+# cpad-16 coarse block (8 voxels), so the down conv needs no pair merge
+# and no cross-block carries; only the full-res skip tensor must be
+# repacked once for its consumer at cpad 16.
+
+
+@lru_cache(maxsize=None)
+def _strided_w_cross_pattern(cpad_in: int, cpad_out: int):
+    """[2, 2, 3(dx), F_in slots, F_out slots] 0/1 placement: fine slot
+    2 i + dx -> coarse slot i (all within one block; F_in == 2 F_out)."""
+    F_in = LANES // cpad_in
+    F_out = LANES // cpad_out
+    assert F_in == 2 * F_out
+    P = np.zeros((3, F_in, F_out), np.float32)
+    for i in range(F_out):
+        for dx in range(2):
+            P[dx, 2 * i + dx, i] = 1.0
+    return P
+
+
+def _strided_w_cross(w8: jax.Array, cpad_in: int, cpad_out: int,
+                     cin: int, cout: int) -> jax.Array:
+    """w8 [8, cin, cout] -> [2, 2, 128, 128] lane matrices for the
+    cpad_in -> cpad_out stride-2 conv (see block comment above)."""
+    P = jnp.asarray(_strided_w_cross_pattern(cpad_in, cpad_out)[:2])
+    w = w8.astype(jnp.float32).reshape(2, 2, 2, cin, cout)
+    # out[dz, dy, o*cpad_in + c, i*cpad_out + e] =
+    #     sum_dx P[dx, o, i] w[dz, dy, dx, c, e]
+    m = jnp.einsum("doi,zydce->zyocie", P, w)
+    F_in, F_out = LANES // cpad_in, LANES // cpad_out
+    out = jnp.zeros((2, 2, F_in, cpad_in, F_out, cpad_out), jnp.float32)
+    out = out.at[:, :, :, :cin, :, :cout].set(m)
+    return out.reshape(2, 2, LANES, LANES)
+
+
+@lru_cache(maxsize=None)
+def _mask_down_cross(cpad_in: int, cpad_out: int) -> np.ndarray:
+    """[128, 128]: any lane of fine slot o -> all lanes of coarse o//2."""
+    F_in = LANES // cpad_in
+    M = np.zeros((LANES, LANES), np.float32)
+    for o in range(F_in):
+        for c in range(cpad_in):
+            for c2 in range(cpad_out):
+                M[o * cpad_in + c, (o // 2) * cpad_out + c2] = 1.0
+    return M
+
+
+@lru_cache(maxsize=None)
+def _repack_matrix(cpad_in: int, cpad_out: int) -> np.ndarray:
+    """[128, 256] permutation: cpad_in row (F_in voxels) -> a PAIR of
+    cpad_out rows (F_in voxels at the wider lane budget, upper channels
+    dead). Requires cpad_out == 2 * cpad_in."""
+    assert cpad_out == 2 * cpad_in
+    F_in = LANES // cpad_in
+    M = np.zeros((LANES, 2 * LANES), np.float32)
+    for s in range(F_in):
+        for c in range(cpad_in):
+            M[s * cpad_in + c, s * cpad_out + c] = 1.0
+    return M
+
+
+def repack_cpad(fg: FGrid, cpad_out: int) -> FGrid:
+    """Re-fold an FGrid to a wider per-voxel lane budget (one lane GEMM +
+    block unpair); real channels preserved, new lanes dead-zero."""
+    if cpad_out == fg.cpad:
+        return fg
+    assert cpad_out == 2 * fg.cpad, (fg.cpad, cpad_out)
+    Z, Y, X = fg.dims
+    xq_out = _xq_for(X, cpad_out)
+    M = jnp.asarray(_repack_matrix(fg.cpad, cpad_out), fg.data.dtype)
+    y = jax.lax.dot_general(
+        fg.data, M, dimension_numbers=(((4,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(fg.data.dtype)
+    y = _unpairs(y)  # [B, Z+2, Y+2, 2 xq_in, 128]
+    if y.shape[3] > xq_out:
+        y = y[:, :, :, :xq_out]
+    elif y.shape[3] < xq_out:
+        y = jnp.pad(y, ((0, 0),) * 3 + ((0, xq_out - y.shape[3]), (0, 0)))
+    return FGrid(y, fg.dims, fg.real_c, cpad_out)

@@ -887,3 +887,275 @@ def fused_upconv_folded(
             pltpu.SemaphoreType.DMA((8,)),
         ],
     )(*xs, cmask, fmask, wm, wc, ab)
+
+
+# --------------------------------------------- fused strided downsample (v3)
+#
+# One kernel for the encoder/U-Net down paths: [optional eval-BN affine +
+# ReLU + fine mask] -> stride-2 2^3 conv -> coarse mask (maxpool2 of the
+# fine mask, computed in the SAME pass) -> masked, halo'd coarse grid.
+# Replaces, per site, the XLA chain of 8 strided slices + 4 conv dots +
+# 4 mask-down dots + mask multiply + 2 re-halo pads (+ the BN pass where
+# the BN fed only this conv). x taps+stride are a [256 -> 128] lane matrix
+# on merged fine block pairs; z/y taps+stride are leading-dim strided
+# reads of the DMA'd tile. Matches scn.Convolution (2, 2) semantics
+# (/root/reference/torch/model.py:44).
+
+
+def _kernel_downconv(*refs, tzc, tyc, xqf, xqc, relu, has_affine,
+                     cross, acc_dtype):
+    (x_ref, fmask_ref, w_ref, md_ref, ab_ref,
+     out_ref, mout_ref) = refs[:7]
+    (tbuf, obuf, mobuf, zb_z, zb_y, zb_c,
+     in_sems, out_sems, ring_sems) = refs[7:]
+
+    nz = pl.num_programs(1)
+    ny = pl.num_programs(2)
+    b = pl.program_id(0)
+    iz = pl.program_id(1)
+    iy = pl.program_id(2)
+    k = (b * nz + iz) * ny + iy
+    total = pl.num_programs(0) * nz * ny
+
+    def in_dmas(step, slot):
+        bb = step // (nz * ny)
+        r = step % (nz * ny)
+        zf0 = 1 + (r // ny) * tzc * 2
+        yf0 = 1 + (r % ny) * tyc * 2
+        return [
+            pltpu.make_async_copy(
+                x_ref.at[bb, pl.ds(zf0, 2 * tzc), pl.ds(yf0, 2 * tyc), :, :],
+                tbuf.at[slot, 0], in_sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                fmask_ref.at[bb, pl.ds(zf0, 2 * tzc), pl.ds(yf0, 2 * tyc),
+                             :, :],
+                tbuf.at[slot, 1], in_sems.at[slot, 1],
+            ),
+        ]
+
+    @pl.when(k == 0)
+    def _():
+        for d in in_dmas(0, 0):
+            d.start()
+
+    @pl.when(k + 1 < total)
+    def _():
+        for d in in_dmas(k + 1, (k + 1) % 2):
+            d.start()
+
+    @pl.when(k > 1)
+    def _():
+        pltpu.make_async_copy(
+            obuf.at[k % 2], obuf.at[k % 2], out_sems.at[k % 2, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            mobuf.at[k % 2], mobuf.at[k % 2], out_sems.at[k % 2, 1]
+        ).wait()
+
+    for d in in_dmas(k, k % 2):
+        d.wait()
+
+    slot = k % 2
+    t = tbuf[slot, 0]   # [2 tzc, 2 tyc, xqf, 128] fine tile (no halo)
+    mt = tbuf[slot, 1]
+    if has_affine:
+        tf = t.astype(jnp.float32) * ab_ref[0] + ab_ref[1]
+        if relu:
+            tf = jnp.maximum(tf, 0.0)
+        t = (tf * mt.astype(jnp.float32)).astype(t.dtype)
+    # cross mode (cpad widening): one fine block maps onto one coarse
+    # block, so rows keep the 128-lane width and blocks map 1:1
+    lw = LANES if cross else 2 * LANES
+    nb = xqf if cross else xqf // 2
+    rows_c = tzc * tyc * nb
+    acc = jnp.zeros((rows_c, LANES), acc_dtype)
+    macc = jnp.zeros((rows_c, LANES), acc_dtype)
+    # parity reads via reshape + static index (a [dz::2] strided slice
+    # lowers to a >2D gather Mosaic rejects; this is plain slicing)
+    t4 = t.reshape(tzc, 2, tyc, 2, xqf, LANES)
+    mt4 = mt.reshape(tzc, 2, tyc, 2, xqf, LANES)
+    for dz in range(2):
+        for dy in range(2):
+            lhs = t4[:, dz, :, dy].reshape(rows_c, lw)
+            acc = acc + jnp.dot(
+                lhs, w_ref[dz, dy], preferred_element_type=acc_dtype
+            )
+            mlhs = mt4[:, dz, :, dy].reshape(rows_c, lw)
+            macc = macc + jnp.dot(
+                mlhs, md_ref[0], preferred_element_type=acc_dtype
+            )
+    mcoarse = jnp.minimum(macc, 1.0)
+    res = (acc * mcoarse).astype(out_ref.dtype)
+    mres = mcoarse.astype(mout_ref.dtype)
+    # pad coarse x blocks up to xqc with zeros
+    res = res.reshape(tzc, tyc, nb, LANES)
+    mres = mres.reshape(tzc, tyc, nb, LANES)
+    if nb < xqc:
+        pad = jnp.zeros((tzc, tyc, xqc - nb, LANES), out_ref.dtype)
+        res = jnp.concatenate([res, pad], axis=2)
+        mres = jnp.concatenate([mres, pad.astype(mout_ref.dtype)], axis=2)
+    elif nb > xqc:
+        res = res[:, :, :xqc]
+        mres = mres[:, :, :xqc]
+    obuf[slot] = res
+    mobuf[slot] = mres
+    pltpu.make_async_copy(
+        obuf.at[slot],
+        out_ref.at[b, pl.ds(1 + iz * tzc, tzc), pl.ds(1 + iy * tyc, tyc),
+                   :, :],
+        out_sems.at[slot, 0],
+    ).start()
+    pltpu.make_async_copy(
+        mobuf.at[slot],
+        mout_ref.at[b, pl.ds(1 + iz * tzc, tzc), pl.ds(1 + iy * tyc, tyc),
+                    :, :],
+        out_sems.at[slot, 1],
+    ).start()
+
+    # ---- zero halo rings on BOTH outputs
+    Zp = out_ref.shape[1]
+    Yp = out_ref.shape[2]
+    zb_z[...] = jnp.zeros_like(zb_z)
+    zb_y[...] = jnp.zeros_like(zb_y)
+    zb_c[...] = jnp.zeros_like(zb_c)
+
+    def ring(cond, src, oref, zsl, ysl, sem_i):
+        @pl.when(cond)
+        def _():
+            d = pltpu.make_async_copy(
+                src, oref.at[b, zsl, ysl, :, :], ring_sems.at[sem_i]
+            )
+            d.start()
+            d.wait()
+
+    for j, oref in enumerate((out_ref, mout_ref)):
+        o = 8 * j
+        ring(iz == 0, zb_z, oref,
+             pl.ds(0, 1), pl.ds(1 + iy * tyc, tyc), o + 0)
+        ring(iz == nz - 1, zb_z, oref,
+             pl.ds(Zp - 1, 1), pl.ds(1 + iy * tyc, tyc), o + 1)
+        ring(iy == 0, zb_y, oref,
+             pl.ds(1 + iz * tzc, tzc), pl.ds(0, 1), o + 2)
+        ring(iy == ny - 1, zb_y, oref,
+             pl.ds(1 + iz * tzc, tzc), pl.ds(Yp - 1, 1), o + 3)
+        ring((iz == 0) & (iy == 0), zb_c, oref,
+             pl.ds(0, 1), pl.ds(0, 1), o + 4)
+        ring((iz == 0) & (iy == ny - 1), zb_c, oref,
+             pl.ds(0, 1), pl.ds(Yp - 1, 1), o + 5)
+        ring((iz == nz - 1) & (iy == 0), zb_c, oref,
+             pl.ds(Zp - 1, 1), pl.ds(0, 1), o + 6)
+        ring((iz == nz - 1) & (iy == ny - 1), zb_c, oref,
+             pl.ds(Zp - 1, 1), pl.ds(Yp - 1, 1), o + 7)
+
+    @pl.when(k == total - 1)
+    def _():
+        pltpu.make_async_copy(
+            obuf.at[slot], obuf.at[slot], out_sems.at[slot, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            mobuf.at[slot], mobuf.at[slot], out_sems.at[slot, 1]
+        ).wait()
+
+    @pl.when((k == total - 2) & (total > 1))
+    def _():
+        pltpu.make_async_copy(
+            obuf.at[slot], obuf.at[slot], out_sems.at[slot, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            mobuf.at[slot], mobuf.at[slot], out_sems.at[slot, 1]
+        ).wait()
+
+
+def fused_downconv_folded(
+    x: jax.Array,        # fine halo'd grid [B, Zf+2, Yf+2, xqf, 128]
+    fmask: jax.Array,    # fine mask, same shape
+    w8: jax.Array,       # [8, real_c, cout], tap order (dz, dy, dx)
+    cpad: int,
+    *,
+    affine: tuple | None = None,  # (scale[128], bias[128]) f32
+    relu: bool = True,
+    cpad_out: int | None = None,  # widen the lane budget across the stride
+) -> tuple[jax.Array, jax.Array]:
+    """Stride-2 2^3 conv site -> (coarse masked halo'd grid, coarse mask),
+    both [B, Zf/2+2, Yf/2+2, xqc, 128]. coarse mask = maxpool2(fine mask);
+    the input affine (optional) applies eval-BN + ReLU + fine mask first.
+    With ``cpad_out == 2 * cpad`` the output is emitted at the wider lane
+    budget directly (one fine block -> one coarse block, no pair merge).
+    """
+    from sgnn_tpu.ops.folded import (
+        _mask_down_cross, _mask_down_matrix, _strided_w, _strided_w_cross,
+        _xq_for,
+    )
+
+    B, Zfp, Yfp, xqf, _ = x.shape
+    Zf, Yf = Zfp - 2, Yfp - 2
+    Zc, Yc = Zf // 2, Yf // 2
+    dt = x.dtype
+    K, cin, cout = w8.shape
+    cross = cpad_out is not None and cpad_out != cpad
+    if cross:
+        assert cpad_out == 2 * cpad and K == 8
+        assert cin <= cpad and cout <= cpad_out
+        xqc = xqf
+        W = _strided_w_cross(w8, cpad, cpad_out, cin, cout).astype(dt)
+        MD = jnp.asarray(_mask_down_cross(cpad, cpad_out), dt)[None]
+    else:
+        assert K == 8 and cin <= cpad and cout <= cpad
+        Xc_blocks_logical = xqf // 2
+        xqc = _xq_for(Xc_blocks_logical * (LANES // cpad), cpad)
+        W = _strided_w(w8, cpad, 0, cin, cout).astype(dt)  # [2,2,256,128]
+        MD = jnp.asarray(_mask_down_matrix(cpad), dt)[None]
+    has_affine = affine is not None
+    if has_affine:
+        ab = jnp.stack([affine[0].astype(jnp.float32),
+                        affine[1].astype(jnp.float32)])
+    else:
+        ab = jnp.zeros((2, LANES), jnp.float32)
+
+    # tile sizes: fine tiles are 4x the coarse tile footprint
+    best = (1, 1)
+    for tzc in (8, 6, 4, 3, 2, 1):
+        if Zc % tzc:
+            continue
+        for tyc in (16, 12, 8, 6, 4, 3, 2, 1):
+            if Yc % tyc:
+                continue
+            Tf = 4 * tzc * tyc * xqf * LANES
+            Rc = tzc * tyc * xqc * LANES
+            cost = 2 * 2 * Tf * 2 + 4 * Rc * 2 + Tf * (4 + 2) + 2 * Rc * 4
+            if cost <= 11_000_000 and tzc * tyc > best[0] * best[1]:
+                best = (tzc, tyc)
+    tzc, tyc = best
+    grid = (B, Zc // tzc, Yc // tyc)
+    kernel = functools.partial(
+        _kernel_downconv, tzc=tzc, tyc=tyc, xqf=xqf, xqc=xqc,
+        relu=relu, has_affine=has_affine, cross=cross,
+        acc_dtype=jnp.float32,
+    )
+    out_shape = jax.ShapeDtypeStruct((B, Zc + 2, Yc + 2, xqc, LANES), dt)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # x
+            pl.BlockSpec(memory_space=pl.ANY),      # fmask
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # W
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # MD
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ab
+        ],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        out_shape=(out_shape, out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 2 * tzc, 2 * tyc, xqf, LANES), dt),  # tbuf
+            pltpu.VMEM((2, tzc, tyc, xqc, LANES), dt),             # obuf
+            pltpu.VMEM((2, tzc, tyc, xqc, LANES), dt),             # mobuf
+            pltpu.VMEM((1, tyc, xqc, LANES), dt),                  # zb_z
+            pltpu.VMEM((tzc, 1, xqc, LANES), dt),                  # zb_y
+            pltpu.VMEM((1, 1, xqc, LANES), dt),                    # zb_c
+            pltpu.SemaphoreType.DMA((2, 2)),                       # in
+            pltpu.SemaphoreType.DMA((2, 2)),                       # out
+            pltpu.SemaphoreType.DMA((16,)),                        # rings
+        ],
+    )(x, fmask, W, MD, ab)

@@ -341,3 +341,57 @@ def test_fused_upconv_folded_interpret(rng):
                 assert (np.take(np.asarray(out), idx, ax) == 0).all()
     finally:
         PC.pl.pallas_call = orig
+
+
+def test_fused_downconv_folded_interpret(rng):
+    """Fused strided-down kernel vs composed reference: BN affine ->
+    stride-2 conv -> coarse mask, interpret mode."""
+    import jax
+    import jax.numpy as jnp
+
+    import sgnn_tpu.ops.pallas.conv3d_folded as PC
+    from sgnn_tpu.ops import folded as FO
+
+    orig = PC.pl.pallas_call
+    PC.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        B, Z, Y, X = 1, 8, 16, 16
+        cpad = 16
+        c, cout = 16, 12
+        mask_dense = rng.rand(B, Z, Y, X) > 0.4
+        fm = FO.fold_mask(jnp.asarray(mask_dense), cpad, jnp.float32)
+        d = (rng.randn(B, Z, Y, X, c) * mask_dense[..., None]).astype(
+            np.float32)
+        fg = FO.fold(jnp.asarray(d), cpad)
+        w8 = jnp.asarray(rng.randn(8, c, cout).astype(np.float32) * 0.3)
+        a = np.zeros(cpad, np.float32)
+        bv = np.zeros(cpad, np.float32)
+        a[:c] = rng.rand(c) + 0.5
+        bv[:c] = rng.randn(c) * 0.1
+        bn_p = {"scale": jnp.asarray(a[:c]), "bias": jnp.asarray(bv[:c])}
+        bn_s = {"mean": jnp.zeros(c), "var": jnp.ones(c) - 1e-4}
+        for use_bn in (False, True):
+            got_fg, got_fm = FO.downconv_fused(
+                fg, fm, w8, cout,
+                bn_params=bn_p if use_bn else None,
+                bn_stats=bn_s if use_bn else None,
+            )
+            got = np.asarray(FO.unfold(got_fg))
+            got_m = np.asarray(FO.unfold(got_fm))[..., 0] > 0.5
+            t = d
+            if use_bn:  # var 1-eps + eps = 1, mean 0 -> scale*x + bias
+                t = np.maximum(d * a[:c] + bv[:c], 0.0) * mask_dense[..., None]
+            wk = np.asarray(w8).reshape(2, 2, 2, c, cout)
+            ref = jax.lax.conv_general_dilated(
+                jnp.asarray(t), jnp.asarray(wk), window_strides=(2, 2, 2),
+                padding="VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+            ref_m = mask_dense.reshape(B, Z // 2, 2, Y // 2, 2, X // 2, 2
+                                       ).max((2, 4, 6)) > 0
+            ref = np.asarray(ref) * ref_m[..., None]
+            np.testing.assert_allclose(got, ref[..., :cout], rtol=1e-4,
+                                       atol=1e-4)
+            np.testing.assert_array_equal(got_m, ref_m)
+    finally:
+        PC.pl.pallas_call = orig
