@@ -96,13 +96,22 @@ class VoxelGrid:
         self.sdf = np.full((X, Y, Z), -np.inf, np.float32)
         self.weight = np.zeros((X, Y, Z), np.float32)
         self.free_ctr = np.zeros((X, Y, Z), np.int32)
+        # per-voxel RGB, allocated on the first color integrate (the
+        # reference Voxel declares `vec3uc color`, VoxelGrid.h:16, but
+        # its fuse path never fills it; we integrate when frames carry
+        # color)
+        self.color: np.ndarray | None = None
 
     def truncation(self, d):
         return 3.0 * self.voxel_size + d * self.voxel_size
 
     # ------------------------------------------------------------ integrate
-    def integrate(self, intrinsic, cam2world, depth):
-        """One frame (numpy, frustum-bounded)."""
+    def integrate(self, intrinsic, cam2world, depth, color=None):
+        """One frame (numpy, frustum-bounded). ``color`` is an optional
+        [H, W, 3] uint8/float RGB frame registered to the depth frame;
+        voxels updated by the TSDF pass take a weight-matched running
+        average of the sampled pixel color (filling the `vec3uc color`
+        field the reference Voxel declares, VoxelGrid.h:16)."""
         lo, hi = self._frustum_bounds(intrinsic, cam2world, depth.shape)
         if (hi < lo).any():
             return
@@ -111,17 +120,58 @@ class VoxelGrid:
         zs = np.arange(lo[2], hi[2] + 1)
         gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
         pts_grid = np.stack([gx, gy, gz], -1).astype(np.float32)
-        new_sdf, new_w, free_inc, upd = self._frame_updates(
-            pts_grid,
-            self.sdf[lo[0]:hi[0] + 1, lo[1]:hi[1] + 1, lo[2]:hi[2] + 1],
-            self.weight[lo[0]:hi[0] + 1, lo[1]:hi[1] + 1, lo[2]:hi[2] + 1],
-            intrinsic, cam2world, depth, np,
-        )
         sl = (slice(lo[0], hi[0] + 1), slice(lo[1], hi[1] + 1),
               slice(lo[2], hi[2] + 1))
+        old_w = self.weight[sl].copy() if color is not None else None
+        new_sdf, new_w, free_inc, upd = self._frame_updates(
+            pts_grid,
+            self.sdf[sl],
+            self.weight[sl],
+            intrinsic, cam2world, depth, np,
+        )
         self.sdf[sl] = new_sdf
         self.weight[sl] = new_w
         self.free_ctr[sl] += free_inc
+        if color is not None:
+            self._integrate_color(
+                pts_grid, sl, upd, old_w, new_w, intrinsic, cam2world,
+                depth.shape, color,
+            )
+
+    def _integrate_color(self, pts_grid, sl, upd, old_w, new_w, intrinsic,
+                         cam2world, hw, color):
+        """Weight-matched running average of sampled RGB at TSDF-updated
+        voxels: c <- (c*w_old + pixel*(w_new-w_old)) / w_new."""
+        if self.color is None:
+            self.color = np.zeros((*self.dims, 3), np.float32)
+        H, W = hw
+        world2cam = np.linalg.inv(np.asarray(cam2world, np.float64)).astype(
+            np.float32
+        )
+        pw = (
+            np.einsum("ab,...b->...a", self.grid2world[:3, :3], pts_grid)
+            + self.grid2world[:3, 3]
+        )
+        pc = (
+            np.einsum("ab,...b->...a", world2cam[:3, :3], pw)
+            + world2cam[:3, 3]
+        )
+        fx, fy = intrinsic[0, 0], intrinsic[1, 1]
+        cx, cy = intrinsic[0, 2], intrinsic[1, 2]
+        z = np.where(pc[..., 2] == 0, 1e-12, pc[..., 2])
+        u = np.clip(np.round(pc[..., 0] * fx / z + cx).astype(np.int32),
+                    0, W - 1)
+        v = np.clip(np.round(pc[..., 1] * fy / z + cy).astype(np.int32),
+                    0, H - 1)
+        col = np.asarray(color, np.float32)
+        if col.max() > 1.5:  # uint8-range input
+            col = col / 255.0
+        pix = col[v, u]
+        w_inc = np.maximum(new_w - old_w, 0.0)[..., None]
+        denom = np.maximum(new_w[..., None], 1e-12)
+        cur = self.color[sl]
+        merged = (cur * old_w[..., None] + pix * w_inc) / denom
+        self.color[sl] = np.where(upd[..., None], merged, cur)
 
     def _frame_updates(self, pts_grid, sdf, weight, intrinsic, cam2world,
                        depth, xp):

@@ -276,3 +276,74 @@ def test_verify_roundtrip_and_debug_mesh(tmp_path):
     import os
 
     assert os.path.getsize(mesh) > 100
+
+
+def test_integrate_color():
+    """Color fusion: TSDF-updated voxels take the weight-matched running
+    average of the sampled RGB (fills the color field the reference
+    Voxel declares, VoxelGrid.h:16)."""
+    grid, intr, pose, depth = _wall_setup()
+    H, W = depth.shape
+    red = np.zeros((H, W, 3), np.uint8)
+    red[..., 0] = 255
+    grid.integrate(intr, pose, depth, color=red)
+    g = grid.world2grid[:3, :3] @ np.array([0, 0, 2.0]) \
+        + grid.world2grid[:3, 3]
+    gi = np.round(g).astype(int)
+    np.testing.assert_allclose(
+        grid.color[gi[0], gi[1], gi[2]], [1.0, 0.0, 0.0], atol=1e-6
+    )
+    # second frame in blue: color moves toward blue but stays a convex
+    # average, with the same weights as the sdf update
+    blue = np.zeros((H, W, 3), np.float32)
+    blue[..., 2] = 1.0
+    grid.integrate(intr, pose, depth, color=blue)
+    c = grid.color[gi[0], gi[1], gi[2]]
+    assert 0.0 < c[0] < 1.0 and 0.0 < c[2] < 1.0
+    np.testing.assert_allclose(c[0] + c[2], 1.0, atol=1e-6)
+    assert c[1] == 0.0
+    # depth-only integrate still works after color allocation
+    grid.integrate(intr, pose, depth)
+
+
+def test_lighting_and_material():
+    """Lighting/SimpleMaterial parity: randomizers, clamped draws,
+    energy conservation, text save/load round-trips
+    (Lighting.h:50-83, SimpleMaterial.h:57-134)."""
+    from sgnn_tpu.datagen.lighting import (
+        MAX_NUM_LIGHTS, Lighting, SimpleMaterial,
+    )
+
+    rng = np.random.RandomState(0)
+    lt = Lighting.random(3, rng)
+    assert lt.num_lights == 3
+    np.testing.assert_allclose(
+        np.linalg.norm(lt.lights[:, :3], axis=1), 1.0, rtol=1e-5
+    )
+    assert (lt.lights[:, 3] == 0).all()  # directional
+    with pytest.raises(ValueError):
+        Lighting(np.zeros((MAX_NUM_LIGHTS + 1, 4)))
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        p = td + "/lights.txt"
+        lt.save_to_file(p)
+        lt2 = Lighting.load_from_file(p)
+        np.testing.assert_array_equal(lt.lights, lt2.lights)
+
+        for maker in (SimpleMaterial.random_ward,
+                      SimpleMaterial.random_phong):
+            m = maker(rng)
+            tot = m.ambient + m.diffuse + m.specular
+            if maker is SimpleMaterial.random_ward:
+                assert tot[:3].max() <= 1.0 + 1e-6  # energy conservation
+                assert 1.0 <= m.shiny <= 10.0
+            else:
+                assert 0.5 <= m.shiny <= 50.0
+            assert (m.ambient >= 0).all() and (m.diffuse <= 1).all()
+            mp = td + "/mat.txt"
+            m.save_to_file(mp)
+            m2 = SimpleMaterial.load_from_file(mp)
+            np.testing.assert_array_equal(m.diffuse, m2.diffuse)
+            np.testing.assert_array_equal(m.specular, m2.specular)
+            assert m.shiny == m2.shiny

@@ -155,3 +155,64 @@ def test_ply_ascii_loader(tmp_path):
     np.testing.assert_allclose(v, [[0, 0, 0], [1, 0, 0], [0, 1, 0]])
     v2, f = load_ply_mesh(str(ply))
     np.testing.assert_array_equal(f, [[0, 1, 2]])
+
+
+def test_render_color_flat_provoking_vertex():
+    """Flat color = first (provoking) vertex color per face, matching
+    the nointerpolation annotation shader (drawAnnotations.hlsl:12)."""
+    W, H = 64, 48
+    intr = _intrinsic(40.0, 40.0, (W - 1) / 2, (H - 1) / 2)
+    verts, faces = _quad(z=2.0, half=3.0)
+    cols = np.array(
+        [[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0]], np.float32
+    )
+    d, c = R.render_color(verts, faces, cols, np.eye(4), intr, W, H)
+    assert np.isfinite(d).all()
+    # both faces share provoking vertex 0 -> whole frame red
+    np.testing.assert_allclose(c, np.broadcast_to([1, 0, 0], c.shape))
+    # miss pixels are black + faceid -1
+    d2, fid = R.render_faceid(verts, faces, np.eye(4), intr, W, H,
+                              near=2.5)
+    assert (fid == -1).all() and (d2 == -np.inf).all()
+
+
+def test_render_faceid_native_matches_numpy():
+    rng = np.random.RandomState(3)
+    W, H = 48, 36
+    intr = _intrinsic(30.0, 30.0, (W - 1) / 2, (H - 1) / 2)
+    verts = rng.rand(30, 3).astype(np.float32) * 2 - 1
+    verts[:, 2] = verts[:, 2] * 0.5 + 2.5
+    faces = rng.randint(0, 30, (40, 3)).astype(np.int32)
+    if R._get_lib() is None:
+        pytest.skip("native rasterizer unavailable")
+    d1, f1 = R.render_faceid(verts, faces, np.eye(4), intr, W, H)
+    w2c = np.eye(4, dtype=np.float32)
+    d2, f2 = R._render_faceid_numpy(
+        verts, faces, w2c, intr, W, H, 0.1, 10.0
+    )
+    hit = (f1 >= 0) & (f2 >= 0)
+    assert hit.mean() > 0.1
+    np.testing.assert_allclose(d1[hit], d2[hit], rtol=1e-4, atol=1e-5)
+    # face ids agree wherever the winning depths aren't a coplanar tie
+    diff = f1[hit] != f2[hit]
+    assert diff.mean() < 0.02
+
+
+def test_render_phong_shading():
+    """Wall facing the camera, light along +z toward it: diffuse fully
+    lit; light at grazing angle: dimmer."""
+    from sgnn_tpu.datagen.lighting import Lighting, SimpleMaterial
+
+    W, H = 32, 32
+    intr = _intrinsic(30.0, 30.0, (W - 1) / 2, (H - 1) / 2)
+    verts, faces = _quad(z=2.0, half=3.0)
+    mat = SimpleMaterial([0.1, 0.1, 0.1, 1], [0.6, 0.6, 0.6, 1],
+                         [0, 0, 0, 1], 1.0)
+    # light direction = surface -> light = -z (toward the camera)
+    lit = Lighting(np.array([[0, 0, -1, 0]], np.float32))
+    d, c = R.render_phong(verts, faces, np.eye(4), intr, W, H, lit, mat)
+    np.testing.assert_allclose(c[H // 2, W // 2], 0.7, atol=1e-3)
+    grazing = Lighting(np.array([[1, 0, 0, 0]], np.float32))
+    d, cg = R.render_phong(verts, faces, np.eye(4), intr, W, H,
+                           grazing, mat)
+    np.testing.assert_allclose(cg[H // 2, W // 2], 0.1, atol=1e-3)
