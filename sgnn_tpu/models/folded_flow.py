@@ -28,6 +28,8 @@ checkpoint conversions work unchanged.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -163,7 +165,6 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
         # generative 2x upsample + n1 conv as ONE kernel reading the
         # coarse groups, with the p3 BN folded into its input affine
         fm_unfilt = FO.upsample2_folded(cur_fm)
-        import os
         if os.environ.get("SGNN_NO_UPCONV"):
             zb = _bn_groups(p["p3"], st_h["p3"], zg, cur_fm)
             ups = [FO.upsample2_folded(g) for g in zb]
@@ -173,20 +174,27 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
             up = FO.upconv_fused(zg, cur_fm, fm_unfilt, p["n1"],
                                  p["n1"].shape[-1],
                                  bn_params=p["p3"], bn_stats=st_h["p3"])
-        up = _bn_groups(p["n2"], st_h["n2"], [up], fm_unfilt)[0]
         w2 = jnp.concatenate(
             [p["linear"]["weight"], p["linearsdf"]["weight"]], axis=1
         )
         b2 = jnp.concatenate([p["linear"]["bias"], p["linearsdf"]["bias"]])
-        out2 = FO.linear_folded(up, w2, b2)  # f32, occ = channel 0
-        new_fm = FO.occ_mask_folded(out2, dtype=dt)
-        new_fm = new_fm.with_data(new_fm.data * fm_unfilt.data)
+        if os.environ.get("SGNN_NO_HEADK"):
+            up = _bn_groups(p["n2"], st_h["n2"], [up], fm_unfilt)[0]
+            out2 = FO.linear_folded(up, w2, b2)  # f32, occ = channel 0
+            new_fm = FO.occ_mask_folded(out2, dtype=dt)
+            new_fm = new_fm.with_data(new_fm.data * fm_unfilt.data)
+            upm = up.with_data(up.data * new_fm.data)
+            o2m = out2.with_data(out2.data.astype(dt) * new_fm.data)
+        else:
+            # n2-BN + heads + occupancy gate + masking as ONE kernel
+            upm, o2m, new_fm, out2 = FO.head_site_fused(
+                up, fm_unfilt, p["n2"], st_h["n2"], w2, b2, dtype=dt,
+            )
         nxt = []
         if cfg.pass_feats:
-            nxt.append(up.with_data(up.data * new_fm.data))
+            nxt.append(upm)
         if cfg.pass_occ:
-            o = out2.with_data(out2.data.astype(dt) * new_fm.data)
-            nxt.append(o)
+            nxt.append(o2m)
         return nxt, new_fm, out2, fm_unfilt
 
     for h in range(num_refine_active):
@@ -208,26 +216,33 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
             cur = [*cur, sk.with_data(sk.data * cur_fm.data)]
         z = FO.subm_conv_fused(cur, cur_fm, p["p1"], p["p1"].shape[-1])
         zg = _unet(p["p2"], st_s["p2"], z, cur_fm)
-        zg = _bn_groups(p["p3"], st_s["p3"], zg, cur_fm)
-        surf_fg = None
-        off = 0
-        for g in zg:
-            c = g.real_c
-            o = FO.linear_folded(
-                g, p["linear"]["weight"][off:off + c], None
+        if os.environ.get("SGNN_NO_HEADK"):
+            zg = _bn_groups(p["p3"], st_s["p3"], zg, cur_fm)
+            surf_fg = None
+            off = 0
+            for g in zg:
+                c = g.real_c
+                o = FO.linear_folded(
+                    g, p["linear"]["weight"][off:off + c], None
+                )
+                surf_fg = o if surf_fg is None else surf_fg.with_data(
+                    surf_fg.data + o.data
+                )
+                off += c
+            surf_fg = surf_fg.with_data(
+                surf_fg.data + jnp.tile(
+                    jnp.zeros((CPAD,), jnp.float32).at[:1].set(
+                        p["linear"]["bias"].astype(jnp.float32)
+                    ),
+                    FO.LANES // CPAD,
+                )
             )
-            surf_fg = o if surf_fg is None else surf_fg.with_data(
-                surf_fg.data + o.data
+        else:
+            # p3-BN groups + summed linear head as ONE kernel
+            surf_fg = FO.surf_head_fused(
+                zg, cur_fm, p["p3"], st_s["p3"],
+                p["linear"]["weight"], p["linear"]["bias"],
             )
-            off += c
-        surf_fg = surf_fg.with_data(
-            surf_fg.data + jnp.tile(
-                jnp.zeros((CPAD,), jnp.float32).at[:1].set(
-                    p["linear"]["bias"].astype(jnp.float32)
-                ),
-                FO.LANES // CPAD,
-            )
-        )
         surf = FO.unfold(surf_fg)[..., 0]
         surf_mask = FO.unfold(cur_fm)[..., 0] > 0.5
     else:

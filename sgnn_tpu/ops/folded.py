@@ -699,3 +699,88 @@ def repack_cpad(fg: FGrid, cpad_out: int) -> FGrid:
     elif y.shape[3] < xq_out:
         y = jnp.pad(y, ((0, 0),) * 3 + ((0, xq_out - y.shape[3]), (0, 0)))
     return FGrid(y, fg.dims, fg.real_c, cpad_out)
+
+
+def _eval_affine(bn_params, bn_stats, c, cpad, off=0, eps=1e-4):
+    """Full-width (scale, bias) lane tiles for eval-BN fused kernels."""
+    F = LANES // cpad
+    inv = jax.lax.rsqrt(
+        bn_stats["var"][off:off + c].astype(jnp.float32) + eps
+    ) * bn_params["scale"][off:off + c].astype(jnp.float32)
+    beta = bn_params["bias"][off:off + c].astype(jnp.float32) \
+        - bn_stats["mean"][off:off + c].astype(jnp.float32) * inv
+    a = jnp.zeros((cpad,), jnp.float32).at[:c].set(inv)
+    b = jnp.zeros((cpad,), jnp.float32).at[:c].set(beta)
+    return jnp.tile(a, F), jnp.tile(b, F)
+
+
+def head_site_fused(up: FGrid, fm: FGrid, bn_params: dict, bn_stats: dict,
+                    W2: jax.Array, b2: jax.Array, *, dtype=jnp.bfloat16,
+                    eps: float = 1e-4
+                    ) -> tuple[FGrid, FGrid, FGrid, FGrid]:
+    """Fused refinement tail: [n2 eval-BN + ReLU + mask] -> heads linear
+    (occ ch0 | sdf ch1) -> occupancy gate -> (masked post-BN feats,
+    masked heads, new mask, raw f32 heads), ONE Pallas kernel
+    (ops/pallas/conv3d_folded.py:fused_head_folded). Replaces the chain
+    [bn_folded, linear_folded, occ_mask_folded, 3 mask multiplies]
+    (the reference's model.py:189-190,233-246 head + sparsify)."""
+    from sgnn_tpu.ops.pallas.conv3d_folded import fused_head_folded
+
+    cpad = up.cpad
+    F = LANES // cpad
+    cout = W2.shape[1]
+    a, b = _eval_affine(bn_params, bn_stats, up.real_c, cpad, eps=eps)
+    Wt = _linear_tile(W2, cpad, cout)
+    R = jnp.asarray(_occ_replicate(cpad), jnp.float32)
+    Wocc = Wt @ R
+    bl = jnp.zeros((cpad,), jnp.float32).at[:cout].set(
+        b2.astype(jnp.float32)
+    )
+    bt = jnp.tile(bl, F)
+    brep = bt @ R
+    upm, o2m, fmn, o2f = fused_head_folded(
+        [up.data], fm.data,
+        Wt[None].astype(up.data.dtype), jnp.stack([bt, brep]),
+        affines=jnp.stack([a[None], b[None]]),
+        woccs=Wocc[None].astype(up.data.dtype), gate=True,
+    )
+    return (
+        FGrid(upm, up.dims, up.real_c, cpad),
+        FGrid(o2m, up.dims, cout, cpad),
+        FGrid(fmn, up.dims, cpad, cpad),
+        FGrid(o2f, up.dims, cout, cpad),
+    )
+
+
+def surf_head_fused(groups: list, fm: FGrid, bn_params: dict,
+                    bn_stats: dict, W: jax.Array, bias: jax.Array, *,
+                    eps: float = 1e-4) -> FGrid:
+    """Fused surface tail: per-group [p3 eval-BN + ReLU + mask] -> summed
+    per-group linear -> raw f32 SDF grid, ONE kernel (the reference's
+    SurfacePrediction head, model.py:257,270)."""
+    from sgnn_tpu.ops.pallas.conv3d_folded import fused_head_folded
+
+    cpad = groups[0].cpad
+    F = LANES // cpad
+    affines, tiles = [], []
+    off = 0
+    for g in groups:
+        c = g.real_c
+        affines.append(_eval_affine(bn_params, bn_stats, c, cpad, off=off,
+                                    eps=eps))
+        tiles.append(_linear_tile(W[off:off + c], cpad, 1))
+        off += c
+    assert off == W.shape[0]
+    bl = jnp.zeros((cpad,), jnp.float32).at[:1].set(
+        bias.astype(jnp.float32)
+    )
+    bt = jnp.tile(bl, F)
+    out = fused_head_folded(
+        [g.data for g in groups], fm.data,
+        jnp.stack(tiles).astype(groups[0].data.dtype),
+        jnp.stack([bt, jnp.zeros_like(bt)]),
+        affines=jnp.stack([jnp.stack([a for a, _ in affines]),
+                           jnp.stack([b for _, b in affines])]),
+        gate=False,
+    )
+    return FGrid(out, groups[0].dims, 1, cpad)

@@ -1159,3 +1159,277 @@ def fused_downconv_folded(
             pltpu.SemaphoreType.DMA((16,)),                        # rings
         ],
     )(x, fmask, W, MD, ab)
+
+
+# ------------------------------------------------------- fused head site (v3)
+#
+# One kernel for the per-voxel tail of a refinement level (and the surface
+# block): [eval-BN affine + ReLU + mask] -> head linear (occ|sdf lane GEMM)
+# -> occupancy gate sigmoid(occ)>0.5 -> three masked, halo'd outputs
+# (post-BN feats, head outputs, new mask) + the raw f32 head grid for the
+# per-level output contract. Replaces, per level, the XLA chain
+# [BN pass -> linear GEMM pass -> occ-replicate GEMM pass -> 3 elementwise
+# mask passes] with a single HBM round trip. The occ gate replicate rides
+# the precomposed matrix Wocc = Wh @ R (bitwise equal to GEMM-then-
+# replicate since R only copies the occ column). Matches the reference's
+# head + sparsify step (/root/reference/torch/model.py:189-190,233-246).
+
+
+def _kernel_head(*refs, G, tz, ty, xq, relu, gate, acc_dtype):
+    xrefs = refs[:G]
+    mask_ref = refs[G]
+    wh_ref, wocc_ref, ab_ref, bias_ref = refs[G + 1:G + 5]
+    if gate:
+        (up_ref, o2_ref, fm_ref, f32_ref) = refs[G + 5:G + 9]
+        scratch = refs[G + 9:]
+        (tbuf, upb, o2b, fmb, f32b, zb_z, zb_y, zb_c,
+         in_sems, out_sems, ring_sems) = scratch
+        orefs = (up_ref, o2_ref, fm_ref)
+        obufs = (upb, o2b, fmb)
+    else:
+        f32_ref = refs[G + 5]
+        scratch = refs[G + 6:]
+        (tbuf, f32b, in_sems, out_sems) = scratch
+        orefs = ()
+        obufs = ()
+
+    nz = pl.num_programs(1)
+    ny = pl.num_programs(2)
+    b = pl.program_id(0)
+    iz = pl.program_id(1)
+    iy = pl.program_id(2)
+    k = (b * nz + iz) * ny + iy
+    total = pl.num_programs(0) * nz * ny
+    nout = len(obufs) + 1
+
+    def in_dmas(step, slot):
+        bb = step // (nz * ny)
+        r = step % (nz * ny)
+        z0 = 1 + (r // ny) * tz
+        y0 = 1 + (r % ny) * ty
+        dmas = []
+        for g in range(G):
+            dmas.append(pltpu.make_async_copy(
+                xrefs[g].at[bb, pl.ds(z0, tz), pl.ds(y0, ty), :, :],
+                tbuf.at[slot, g], in_sems.at[slot, g],
+            ))
+        dmas.append(pltpu.make_async_copy(
+            mask_ref.at[bb, pl.ds(z0, tz), pl.ds(y0, ty), :, :],
+            tbuf.at[slot, G], in_sems.at[slot, G],
+        ))
+        return dmas
+
+    @pl.when(k == 0)
+    def _():
+        for d in in_dmas(0, 0):
+            d.start()
+
+    @pl.when(k + 1 < total)
+    def _():
+        for d in in_dmas(k + 1, (k + 1) % 2):
+            d.start()
+
+    @pl.when(k > 1)
+    def _():
+        for j in range(nout):
+            bufs = (*obufs, f32b)
+            pltpu.make_async_copy(
+                bufs[j].at[k % 2], bufs[j].at[k % 2], out_sems.at[k % 2, j]
+            ).wait()
+
+    for d in in_dmas(k, k % 2):
+        d.wait()
+
+    slot = k % 2
+    mt = tbuf[slot, G]  # [tz, ty, xq, 128] 0/1
+    rows = tz * ty * xq
+    acc2 = jnp.zeros((rows, LANES), acc_dtype)
+    accoc = jnp.zeros((rows, LANES), acc_dtype)
+    up_lhs = None
+    for g in range(G):
+        t = tbuf[slot, g]
+        tf = t.astype(jnp.float32) * ab_ref[0, g] + ab_ref[1, g]
+        if relu:
+            tf = jnp.maximum(tf, 0.0)
+        lhs = (tf * mt.astype(jnp.float32)).astype(t.dtype).reshape(
+            rows, LANES
+        )
+        if gate:
+            up_lhs = lhs
+        acc2 = acc2 + jnp.dot(
+            lhs, wh_ref[g], preferred_element_type=acc_dtype
+        )
+        if gate:
+            accoc = accoc + jnp.dot(
+                lhs, wocc_ref[g], preferred_element_type=acc_dtype
+            )
+    out2 = acc2 + bias_ref[0]
+    f32b[slot] = out2.reshape(tz, ty, xq, LANES)
+    pltpu.make_async_copy(
+        f32b.at[slot],
+        f32_ref.at[b, pl.ds(1 + iz * tz, tz), pl.ds(1 + iy * ty, ty),
+                   :, :],
+        out_sems.at[slot, nout - 1],
+    ).start()
+
+    if gate:
+        occ_l = accoc + bias_ref[1]
+        mrow = mt.reshape(rows, LANES)
+        fmn = jnp.where(occ_l > 0.0, mrow, jnp.zeros_like(mrow))
+        upm = (up_lhs * fmn).astype(up_ref.dtype)
+        o2m = (out2.astype(o2_ref.dtype) * fmn)
+        res = (upm, o2m, fmn.astype(fm_ref.dtype))
+        for j in range(3):
+            obufs[j][slot] = res[j].reshape(tz, ty, xq, LANES)
+            pltpu.make_async_copy(
+                obufs[j].at[slot],
+                orefs[j].at[b, pl.ds(1 + iz * tz, tz),
+                            pl.ds(1 + iy * ty, ty), :, :],
+                out_sems.at[slot, j],
+            ).start()
+
+        # ---- zero halo rings on the three halo'd outputs (the f32 grid
+        # is only ever unfolded, which slices the interior)
+        Zp = up_ref.shape[1]
+        Yp = up_ref.shape[2]
+        zb_z[...] = jnp.zeros_like(zb_z)
+        zb_y[...] = jnp.zeros_like(zb_y)
+        zb_c[...] = jnp.zeros_like(zb_c)
+
+        def ring(cond, src, oref, zsl, ysl, sem_i):
+            @pl.when(cond)
+            def _():
+                d = pltpu.make_async_copy(
+                    src, oref.at[b, zsl, ysl, :, :], ring_sems.at[sem_i]
+                )
+                d.start()
+                d.wait()
+
+        for j, oref in enumerate(orefs):
+            o = 8 * j
+            ring(iz == 0, zb_z, oref,
+                 pl.ds(0, 1), pl.ds(1 + iy * ty, ty), o + 0)
+            ring(iz == nz - 1, zb_z, oref,
+                 pl.ds(Zp - 1, 1), pl.ds(1 + iy * ty, ty), o + 1)
+            ring(iy == 0, zb_y, oref,
+                 pl.ds(1 + iz * tz, tz), pl.ds(0, 1), o + 2)
+            ring(iy == ny - 1, zb_y, oref,
+                 pl.ds(1 + iz * tz, tz), pl.ds(Yp - 1, 1), o + 3)
+            ring((iz == 0) & (iy == 0), zb_c, oref,
+                 pl.ds(0, 1), pl.ds(0, 1), o + 4)
+            ring((iz == 0) & (iy == ny - 1), zb_c, oref,
+                 pl.ds(0, 1), pl.ds(Yp - 1, 1), o + 5)
+            ring((iz == nz - 1) & (iy == 0), zb_c, oref,
+                 pl.ds(Zp - 1, 1), pl.ds(0, 1), o + 6)
+            ring((iz == nz - 1) & (iy == ny - 1), zb_c, oref,
+                 pl.ds(Zp - 1, 1), pl.ds(Yp - 1, 1), o + 7)
+
+    @pl.when(k == total - 1)
+    def _():
+        for j in range(nout):
+            bufs = (*obufs, f32b)
+            pltpu.make_async_copy(
+                bufs[j].at[slot], bufs[j].at[slot], out_sems.at[slot, j]
+            ).wait()
+
+    @pl.when((k == total - 2) & (total > 1))
+    def _():
+        for j in range(nout):
+            bufs = (*obufs, f32b)
+            pltpu.make_async_copy(
+                bufs[j].at[slot], bufs[j].at[slot], out_sems.at[slot, j]
+            ).wait()
+
+
+def fused_head_folded(
+    xs: list,            # G halo'd folded grids [B, Z+2, Y+2, xq, 128]
+    mask: jax.Array,     # same shape, 0/1, zero ring
+    whs: jax.Array,      # [G, 128, 128] per-group head lane matrices
+    bias2: jax.Array,    # [2, 128] f32: (head bias tile, occ-replicated)
+    *,
+    affines: jax.Array,  # [2, G, 128] f32 (scale, bias)
+    woccs: jax.Array | None = None,  # [G, 128, 128] Wh @ R (gate mode)
+    relu: bool = True,
+    gate: bool = True,
+):
+    """Fused per-voxel head site. gate=True (G==1): returns (masked
+    post-BN feats bf16, masked head grid bf16, new mask bf16, raw head
+    grid f32). gate=False: returns the raw f32 head grid only (surface)."""
+    G = len(xs)
+    x0 = xs[0]
+    B, Zp, Yp, xq, _ = x0.shape
+    Z, Y = Zp - 2, Yp - 2
+    dt = x0.dtype
+    isz = jnp.dtype(dt).itemsize
+    if gate:
+        assert G == 1 and woccs is not None
+    else:
+        woccs = jnp.zeros_like(whs)
+
+    best = (1, 1)
+    nob = (3 * isz + 4) if gate else 4
+    for tz in (16, 12, 8, 6, 4, 3, 2, 1):
+        if Z % tz:
+            continue
+        for ty in (32, 24, 16, 12, 8, 6, 4, 3, 2, 1):
+            if Y % ty:
+                continue
+            R = tz * ty * xq * LANES
+            cost = 2 * (G + 1) * R * isz + 2 * R * nob
+            cost += R * 4 * (3 if gate else 2) + R * isz
+            cost += (tz + ty + 1) * xq * LANES * isz
+            cost += 3 * G * LANES * LANES * isz
+            if cost <= 11_000_000 and tz * ty > best[0] * best[1]:
+                best = (tz, ty)
+    tz, ty = best
+    grid = (B, Z // tz, Y // ty)
+    kernel = functools.partial(
+        _kernel_head, G=G, tz=tz, ty=ty, xq=xq, relu=relu, gate=gate,
+        acc_dtype=jnp.float32,
+    )
+    shp = (B, Zp, Yp, xq, LANES)
+    f32_shape = jax.ShapeDtypeStruct(shp, jnp.float32)
+    if gate:
+        out_shape = (
+            jax.ShapeDtypeStruct(shp, dt),   # masked post-BN feats
+            jax.ShapeDtypeStruct(shp, dt),   # masked head outputs
+            jax.ShapeDtypeStruct(shp, dt),   # new mask
+            f32_shape,                       # raw head grid
+        )
+        scratch = [
+            pltpu.VMEM((2, G + 1, tz, ty, xq, LANES), dt),  # tbuf
+            pltpu.VMEM((2, tz, ty, xq, LANES), dt),         # upb
+            pltpu.VMEM((2, tz, ty, xq, LANES), dt),         # o2b
+            pltpu.VMEM((2, tz, ty, xq, LANES), dt),         # fmb
+            pltpu.VMEM((2, tz, ty, xq, LANES), jnp.float32),  # f32b
+            pltpu.VMEM((1, ty, xq, LANES), dt),             # zb_z
+            pltpu.VMEM((tz, 1, xq, LANES), dt),             # zb_y
+            pltpu.VMEM((1, 1, xq, LANES), dt),              # zb_c
+            pltpu.SemaphoreType.DMA((2, G + 1)),            # in
+            pltpu.SemaphoreType.DMA((2, 4)),                # out
+            pltpu.SemaphoreType.DMA((24,)),                 # rings
+        ]
+    else:
+        out_shape = f32_shape
+        scratch = [
+            pltpu.VMEM((2, G + 1, tz, ty, xq, LANES), dt),
+            pltpu.VMEM((2, tz, ty, xq, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, G + 1)),
+            pltpu.SemaphoreType.DMA((2, 1)),
+        ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (G + 1) + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wh
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wocc
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ab
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias2
+        ],
+        out_specs=(
+            tuple(pl.BlockSpec(memory_space=pl.ANY) for _ in out_shape)
+            if gate else pl.BlockSpec(memory_space=pl.ANY)
+        ),
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+    )(*xs, mask, whs, woccs, affines, bias2)

@@ -395,3 +395,102 @@ def test_fused_downconv_folded_interpret(rng):
             np.testing.assert_array_equal(got_m, ref_m)
     finally:
         PC.pl.pallas_call = orig
+
+
+def test_fused_head_folded_interpret(rng):
+    """Fused head-site kernel vs composed reference: n2-BN -> heads ->
+    occupancy gate -> masked outputs; and the surface (grouped, no gate)
+    variant."""
+    import jax.numpy as jnp
+
+    import sgnn_tpu.ops.pallas.conv3d_folded as PC
+    from sgnn_tpu.ops import folded as FO
+
+    orig = PC.pl.pallas_call
+    PC.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        B, Z, Y, X = 1, 8, 16, 16
+        cpad, c = 16, 10
+        mask_dense = rng.rand(B, Z, Y, X) > 0.45
+        fm = FO.fold_mask(jnp.asarray(mask_dense), cpad, jnp.float32)
+        d = (rng.randn(B, Z, Y, X, c) * mask_dense[..., None]).astype(
+            np.float32)
+        up = FO.fold(jnp.asarray(d), cpad)
+        bn_p = {"scale": jnp.asarray(rng.rand(c).astype(np.float32) + 0.5),
+                "bias": jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)}
+        bn_s = {"mean": jnp.asarray(rng.randn(c).astype(np.float32) * 0.1),
+                "var": jnp.asarray(rng.rand(c).astype(np.float32) + 0.5)}
+        w2 = jnp.asarray(rng.randn(c, 2).astype(np.float32))
+        b2 = jnp.asarray(rng.randn(2).astype(np.float32))
+
+        upm, o2m, fmn, o2f = FO.head_site_fused(up, fm, bn_p, bn_s, w2, b2)
+
+        # composed reference (the SGNN_NO_HEADK path)
+        ub = FO.bn_folded({"scale": bn_p["scale"], "bias": bn_p["bias"]},
+                          bn_s, up, fm, training=False)[0]
+        out2 = FO.linear_folded(ub, w2, b2)
+        nf = FO.occ_mask_folded(out2, dtype=jnp.float32)
+        nf = nf.with_data(nf.data * fm.data)
+        np.testing.assert_allclose(
+            np.asarray(FO.unfold(fmn)), np.asarray(FO.unfold(nf)),
+            atol=0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(FO.unfold(o2f)), np.asarray(FO.unfold(out2)),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(FO.unfold(upm)),
+            np.asarray(FO.unfold(ub)) * np.asarray(FO.unfold(nf))[..., :1]
+            .repeat(c, -1)[..., :c],
+            rtol=1e-3, atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(FO.unfold(o2m)),
+            (np.asarray(FO.unfold(out2))
+             * np.asarray(FO.unfold(nf))[..., :2]).astype(np.float32),
+            rtol=1e-2, atol=1e-2,
+        )
+        # halo rings of the three halo'd outputs are zero
+        for g in (upm, o2m, fmn):
+            arr = np.asarray(g.data)
+            for ax in (1, 2):
+                for idx in (0, arr.shape[ax] - 1):
+                    assert (np.take(arr, idx, ax) == 0).all()
+
+        # ---- surface variant: grouped, ungated
+        cs = [6, 4]
+        groups, Ws = [], []
+        Wfull = rng.randn(sum(cs), 1).astype(np.float32)
+        bn_pg = {"scale": jnp.asarray(
+                     rng.rand(sum(cs)).astype(np.float32) + 0.5),
+                 "bias": jnp.asarray(
+                     rng.randn(sum(cs)).astype(np.float32) * 0.1)}
+        bn_sg = {"mean": jnp.asarray(
+                     rng.randn(sum(cs)).astype(np.float32) * 0.1),
+                 "var": jnp.asarray(
+                     rng.rand(sum(cs)).astype(np.float32) + 0.5)}
+        off = 0
+        for ci in cs:
+            di = (rng.randn(B, Z, Y, X, ci)
+                  * mask_dense[..., None]).astype(np.float32)
+            groups.append(FO.fold(jnp.asarray(di), cpad))
+            off += ci
+        surf = FO.surf_head_fused(groups, fm, bn_pg, bn_sg,
+                                  jnp.asarray(Wfull), jnp.zeros(1) + 0.3)
+        # composed
+        acc = None
+        off = 0
+        for g, ci in zip(groups, cs):
+            p = {k: bn_pg[k][off:off + ci] for k in ("scale", "bias")}
+            s = {k: bn_sg[k][off:off + ci] for k in ("mean", "var")}
+            gb = FO.bn_folded(p, s, g, fm, training=False)[0]
+            o = FO.linear_folded(gb, jnp.asarray(Wfull[off:off + ci]), None)
+            acc = o if acc is None else acc.with_data(acc.data + o.data)
+            off += ci
+        ref = np.asarray(FO.unfold(acc))[..., 0] + 0.3
+        np.testing.assert_allclose(
+            np.asarray(FO.unfold(surf))[..., 0], ref, rtol=1e-4, atol=1e-4,
+        )
+    finally:
+        PC.pl.pallas_call = orig
