@@ -1,6 +1,7 @@
 """Dense-flow execution == coordinate-list execution (forward + loss)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -23,6 +24,7 @@ def _targets(rng, cfg):
     return tgt, known, hier
 
 
+@pytest.mark.slow
 def test_dense_flow_matches_sparse(rng):
     params, stats = M.genmodel_init(jax.random.PRNGKey(0), CFG)
     st = _rand_input(rng, CFG)
@@ -65,6 +67,7 @@ def test_dense_flow_matches_sparse(rng):
     )
 
 
+@pytest.mark.slow
 def test_dense_flow_loss_matches_sparse(rng):
     params, stats = M.genmodel_init(jax.random.PRNGKey(0), CFG)
     st = _rand_input(rng, CFG)
@@ -186,6 +189,7 @@ def test_dense_flow_inference(rng):
     assert len(r["levels"]) == cfg.num_hierarchy_levels
 
 
+@pytest.mark.slow
 def test_dense_flow_pallas_conv_equivalence(rng):
     """dense_flow with the Pallas conv routed in (interpret mode) matches
     the XLA conv path. Needs X % 64 == 0, so uses a (32, 32, 64) volume."""

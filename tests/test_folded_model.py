@@ -40,6 +40,7 @@ def _inputs(cfg, seed=3, n=60):
     return make_sparse(locs, feats, n, cfg.input_dim, 1)
 
 
+@pytest.mark.slow
 def test_folded_matches_dense_flow(rng, interpret_pallas):
     cfg = SGNNConfig(
         encoder_dim=8,
@@ -89,6 +90,7 @@ def test_folded_matches_dense_flow(rng, interpret_pallas):
     )
 
 
+@pytest.mark.slow
 def test_folded_partial_levels(rng, interpret_pallas):
     """Level gating (num_refine_active < L, no surf) matches."""
     cfg = SGNNConfig(

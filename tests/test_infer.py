@@ -100,6 +100,7 @@ def test_inferencer_caches_by_shape(scene_dirs):
     assert len(inf._cache) == 1  # same padded shape -> one executable
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(scene_dirs, tmp_path):
     inp_dir, tgt_dir, _ = scene_dirs
     # save a tiny converted-style checkpoint the CLI can load
@@ -138,6 +139,7 @@ def test_cli_end_to_end(scene_dirs, tmp_path):
     assert any("input-mesh" in f for f in files), (files, r.stdout)
 
 
+@pytest.mark.slow
 def test_evaluate_cli(scene_dirs, tmp_path):
     from sgnn_tpu.train.checkpoint import save_checkpoint
     from sgnn_tpu.train.state import create_train_state
