@@ -31,7 +31,7 @@ class SceneInferencer:
     def _get_fn(self, dims: tuple[int, int, int]):
         if dims not in self._cache:
             cfg = self.cfg_base.for_scene(dims)
-            if cfg.execution == "dense_flow" and (
+            if cfg.execution in ("dense_flow", "folded") and (
                 jax.default_backend() == "tpu"
             ):
                 # folded lane-dense execution (models/folded_flow.py):
@@ -47,7 +47,7 @@ class SceneInferencer:
                         num_refine_active=cfg.num_refine_levels,
                         do_surf=True,
                     )
-            elif cfg.execution == "dense_flow":
+            elif cfg.execution in ("dense_flow", "folded"):
                 from sgnn_tpu.models import dense_flow as DF
 
                 def fn(params, stats, locs, feats, num_valid):
@@ -98,7 +98,7 @@ class SceneInferencer:
         )
         out = jax.device_get(out)
         orig = np.asarray(sample["orig_dims"])
-        if cfg.execution == "dense_flow":
+        if cfg.execution in ("dense_flow", "folded"):
             return self._postprocess_dense(sample, out, orig, locs3, n)
 
         def unpad(locs_arr, num_valid, *vals):

@@ -43,6 +43,8 @@ from __future__ import annotations
 import dataclasses
 from functools import lru_cache, partial
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -784,3 +786,186 @@ def surf_head_fused(groups: list, fm: FGrid, bn_params: dict,
         gate=False,
     )
     return FGrid(out, groups[0].dims, 1, cpad)
+
+
+def conv_folded_xla(xf: jax.Array, w27: jax.Array, cpad: int) -> jax.Array:
+    """Differentiable XLA composition of the folded 3^3 conv: the same
+    tri-block-diagonal tap algebra as the Pallas kernel
+    (ops/pallas/conv3d_folded.py:_fold_weights), expressed as 18
+    dot_generals + leading-dim shifted slices so jax.grad works — the
+    training-path equivalent of conv_folded_raw.
+
+    xf [B, Z+2, Y+2, xq, 128] (zero halo ring) -> UNPADDED folded output
+    [B, Z, Y, xq, 128] f32; the caller re-halos + masks.
+    """
+    from sgnn_tpu.ops.pallas.conv3d_folded import _fold_weights
+
+    B, Zp, Yp, xq, _ = xf.shape
+    Z, Y = Zp - 2, Yp - 2
+    K, cin, cout = w27.shape
+    assert K == 27 and cin <= cpad and cout <= cpad
+    w = w27
+    if cin < cpad:
+        w = jnp.pad(w, ((0, 0), (0, cpad - cin), (0, 0)))
+    wm, wc = _fold_weights(w, cpad, xf.dtype)
+    zrow = jnp.zeros_like(xf[:, :, :, :1])
+    nxt = jnp.concatenate([xf[:, :, :, 1:], zrow], axis=3)
+    prv = jnp.concatenate([zrow, xf[:, :, :, :-1]], axis=3)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, LANES), 4)
+    carry = jnp.where(lane < cpad, nxt, prv)
+    dn = (((4,), (0,)), ((), ()))
+    acc = None
+    for dz in range(3):
+        for dy in range(3):
+            k = dz * 3 + dy
+            a = jax.lax.dot_general(
+                xf[:, dz:dz + Z, dy:dy + Y], wm[k],
+                dimension_numbers=dn, preferred_element_type=jnp.float32,
+            )
+            b = jax.lax.dot_general(
+                carry[:, dz:dz + Z, dy:dy + Y], wc[k],
+                dimension_numbers=dn, preferred_element_type=jnp.float32,
+            )
+            acc = a + b if acc is None else acc + a + b
+    return acc
+
+
+def subm_conv_folded_xla(groups: list, fm: FGrid, w27: jax.Array,
+                         cout: int) -> FGrid:
+    """Differentiable submanifold conv site (training path): per-group
+    conv_folded_xla summed, re-halo'd, masked. Same result as
+    subm_conv_folded / subm_conv_fused in eval."""
+    acc = None
+    off = 0
+    for fg in groups:
+        y = conv_folded_xla(
+            fg.data, w27[:, off:off + fg.real_c, :].astype(fg.data.dtype),
+            fg.cpad,
+        )
+        acc = y if acc is None else acc + y
+        off += fg.real_c
+    assert off == w27.shape[1], (off, w27.shape)
+    fg0 = groups[0]
+    out = _rehalo(acc.astype(fg0.data.dtype), fg0.data.shape[3]) * fm.data
+    return FGrid(out, fg0.dims, cout, fg0.cpad)
+
+
+# ----------------------------------------------- training conv (custom VJP)
+#
+# The autodiff of conv_folded_xla leaves ~54 XLA "convolution" dispatches
+# per conv site per train step (18 fwd dots + their dx/dw adjoints +
+# remat replays) at ~0.15 ms each — 70%+ of the folded train step
+# (trace, tools/trace_summary.py). This custom VJP runs the forward and
+# the input gradient through ONE Pallas kernel each (dx of a zero-padded
+# 3^3 conv = conv of the cotangent with the tap-flipped, in/out-
+# transposed weights) and computes dW with 18 [128, N] x [N, 128]
+# reduce-GEMMs + the constant slot-pattern extraction (the exact adjoint
+# of _fold_weights' block-kron einsum).
+
+
+def _conv_train_impl(xf, w27, cpad):
+    """Backend-routed folded conv core: Pallas on TPU, XLA elsewhere."""
+    if jax.default_backend() == "tpu":
+        from sgnn_tpu.ops.pallas.conv3d_folded import conv_folded_raw
+
+        B, Zp, Yp, xq, _ = xf.shape
+        return conv_folded_raw(xf, w27.astype(xf.dtype), cpad,
+                               (Zp - 2, Yp - 2, xq)).astype(jnp.float32)
+    return conv_folded_xla(xf, w27, cpad)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv_folded_train(xf: jax.Array, w27: jax.Array, cpad: int):
+    """Differentiable folded 3^3 conv (zero-padded): xf halo'd
+    [B, Z+2, Y+2, xq, 128] -> unpadded [B, Z, Y, xq, 128] f32.
+
+    The returned input gradient is ZERO on the halo ring (the true
+    adjoint also propagates into the ring, but every producer of a
+    halo'd grid zero-pads it, so those cotangents are sliced away
+    upstream — end-to-end gradients are identical; verified against the
+    conv_folded_xla autodiff in tests/test_folded_train.py)."""
+    return _conv_train_impl(xf, w27, cpad)
+
+
+def _conv_train_fwd(xf, w27, cpad):
+    return _conv_train_impl(xf, w27, cpad), (xf, w27)
+
+
+def _conv_train_bwd(cpad, res, g):
+    xf, w27 = res
+    K, cin, cout = w27.shape
+    B, Zp, Yp, xq, _ = xf.shape
+    Z, Y = Zp - 2, Yp - 2
+    g = g.astype(xf.dtype)
+    # ---- dx: conv of the re-halo'd cotangent with flipped-transposed taps
+    wt = jnp.flip(w27.reshape(3, 3, 3, cin, cout), (0, 1, 2))
+    wt = wt.reshape(27, cin, cout).transpose(0, 2, 1)  # [27, cout, cin]
+    gh = _rehalo(g, xq)
+    dxi = _conv_train_impl(gh, wt, cpad)  # unpadded interior
+    dx = _rehalo(dxi.astype(xf.dtype), xq)
+    # ---- dW: M[k] = lhs_k^T @ g per (dz, dy) for main and carry lhs,
+    # then the adjoint of _fold_weights' constant slot patterns
+    from sgnn_tpu.ops.pallas.conv3d_folded import LANES as _L
+
+    fold = _L // cpad
+    zrow = jnp.zeros_like(xf[:, :, :, :1])
+    nxt = jnp.concatenate([xf[:, :, :, 1:], zrow], axis=3)
+    prv = jnp.concatenate([zrow, xf[:, :, :, :-1]], axis=3)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, _L), 4)
+    carry = jnp.where(lane < cpad, nxt, prv)
+    grows = g.reshape(-1, _L)
+    dn = (((0,), (0,)), ((), ()))
+    Mm, Mc = [], []
+    for dz in range(3):
+        for dy in range(3):
+            lm = xf[:, dz:dz + Z, dy:dy + Y].reshape(-1, _L)
+            lc = carry[:, dz:dz + Z, dy:dy + Y].reshape(-1, _L)
+            Mm.append(jax.lax.dot_general(
+                lm, grows, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            ))
+            Mc.append(jax.lax.dot_general(
+                lc, grows, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            ))
+    import numpy as _np
+
+    eyed = _np.stack(
+        [_np.diag(_np.ones(fold - abs(k), _np.float32), k)
+         for k in (1, 0, -1)]
+    )
+    carryd = _np.zeros((3, fold, fold), _np.float32)
+    carryd[2, 0, fold - 1] = 1.0
+    carryd[0, fold - 1, 0] = 1.0
+    Mm_r = jnp.stack(Mm).reshape(9, fold, cpad, fold, cpad)
+    Mc_r = jnp.stack(Mc).reshape(9, fold, cpad, fold, cpad)
+    # M rows carry (input slot j, cin c), cols (output slot i, cout o):
+    # dwm[k][j*cpad+c, i*cpad+o] = M[k] elementwise, so the fold-pattern
+    # adjoint contracts (j, i) against the same D/carry constants
+    dw9 = (
+        jnp.einsum("dji,kjcio->kdco", jnp.asarray(eyed), Mm_r)
+        + jnp.einsum("dji,kjcio->kdco", jnp.asarray(carryd), Mc_r)
+    )
+    dw = dw9.reshape(27, cpad, cpad)[:, :cin, :cout].astype(w27.dtype)
+    return dx, dw
+
+
+conv_folded_train.defvjp(_conv_train_fwd, _conv_train_bwd)
+
+
+def subm_conv_folded_train(groups: list, fm: FGrid, w27: jax.Array,
+                           cout: int) -> FGrid:
+    """Training conv site: per-group conv_folded_train summed, re-halo'd,
+    masked. Pallas fwd/dx on TPU; XLA composition elsewhere."""
+    acc = None
+    off = 0
+    for fg in groups:
+        y = conv_folded_train(
+            fg.data, w27[:, off:off + fg.real_c, :], fg.cpad,
+        )
+        acc = y if acc is None else acc + y
+        off += fg.real_c
+    assert off == w27.shape[1], (off, w27.shape)
+    fg0 = groups[0]
+    out = _rehalo(acc.astype(fg0.data.dtype), fg0.data.shape[3]) * fm.data
+    return FGrid(out, fg0.dims, cout, fg0.cpad)

@@ -62,7 +62,7 @@ class TrainOptions:
     num_devices: int = 0  # 0 = all
     input_capacity: int = 0
     occupancy_fractions: tuple = (1.0, 0.5, 0.25, 0.125)
-    execution: str = "sparse"  # "sparse" | "dense_flow"
+    execution: str = "sparse"  # "sparse" | "dense_flow" | "folded"
     compute_dtype: str = "float32"
     # 0 = LR steps per epoch (StepLR); >0 = halve every N iterations
     # (train.py --scheduler_step_size)
@@ -190,7 +190,7 @@ class Trainer:
         st = make_sparse(locs, feats, k, cfg.input_dim, B)
         dims = cfg.input_dim
         names = batch.get("names", [str(i) for i in range(B)])
-        if cfg.execution == "dense_flow":
+        if cfg.execution in ("dense_flow", "folded"):
             from sgnn_tpu.models import dense_flow as DFM
 
             out, _ = DFM.genmodel_apply_dense(

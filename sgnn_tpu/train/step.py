@@ -57,14 +57,26 @@ def _forward_loss(
     num_refine_active, do_surf, use_log_transform, weight_missing_geo,
     use_loss_masking, training, axis_name,
 ):
-    if cfg.execution == "dense_flow":
-        from sgnn_tpu.models import dense_flow as DF
+    if cfg.execution in ("dense_flow", "folded"):
+        if cfg.execution == "folded":
+            # folded lane-dense layout with differentiable XLA tap
+            # algebra (models/folded_train.py) — same output/stats
+            # contract as dense_flow
+            from sgnn_tpu.models import folded_train as FT
 
-        out, new_stats = DF.genmodel_apply_dense(
-            params, stats, cfg, st,
-            num_refine_active=num_refine_active, do_surf=do_surf,
-            training=training, axis_name=axis_name,
-        )
+            out, new_stats = FT.genmodel_apply_folded_train(
+                params, stats, cfg, st,
+                num_refine_active=num_refine_active, do_surf=do_surf,
+                training=training, axis_name=axis_name,
+            )
+        else:
+            from sgnn_tpu.models import dense_flow as DF
+
+            out, new_stats = DF.genmodel_apply_dense(
+                params, stats, cfg, st,
+                num_refine_active=num_refine_active, do_surf=do_surf,
+                training=training, axis_name=axis_name,
+            )
         total, per_level = L.compute_loss_dense_flow(
             out, targets, loss_weights, cfg.truncation,
             num_refine_active=num_refine_active, do_surf=do_surf,

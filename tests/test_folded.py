@@ -494,3 +494,42 @@ def test_fused_head_folded_interpret(rng):
         )
     finally:
         PC.pl.pallas_call = orig
+
+
+def test_conv_folded_train_vjp(rng):
+    """conv_folded_train custom VJP vs conv_folded_xla autodiff: loss,
+    dW exact, dx exact on the interior (ring cotangents are dropped by
+    every producer's zero-pad, so they may differ)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sgnn_tpu.ops import folded as FO
+
+    B, Z, Y, X, c, cout = 1, 8, 8, 16, 10, 12
+    cpad = 16
+    mask = rng.rand(B, Z, Y, X) > 0.4
+    fm = FO.fold_mask(jnp.asarray(mask), cpad, jnp.float32)
+    d = (rng.randn(B, Z, Y, X, c) * mask[..., None]).astype(np.float32)
+    fg = FO.fold(jnp.asarray(d), cpad)
+    w = jnp.asarray(rng.randn(27, c, cout).astype(np.float32) * 0.2)
+    cotf = FO.fold(
+        jnp.asarray(rng.randn(B, Z, Y, X, cout).astype(np.float32)), cpad
+    )
+
+    def loss(conv, w, xd):
+        out = conv([FO.FGrid(xd, fg.dims, c, cpad)], fm, w, cout)
+        return jnp.sum(out.data * cotf.data)
+
+    l1, (gw1, gx1) = jax.value_and_grad(
+        lambda w, x: loss(FO.subm_conv_folded_xla, w, x), argnums=(0, 1)
+    )(w, fg.data)
+    l2, (gw2, gx2) = jax.value_and_grad(
+        lambda w, x: loss(FO.subm_conv_folded_train, w, x), argnums=(0, 1)
+    )(w, fg.data)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw1),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(gx2)[:, 1:-1, 1:-1], np.asarray(gx1)[:, 1:-1, 1:-1],
+        rtol=1e-4, atol=1e-4,
+    )

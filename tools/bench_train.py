@@ -125,7 +125,12 @@ def main():
         for batch, dev in trainer._prefetch(loader):
             with_metrics = trainer.iteration % args.log_every == 0
             metrics, _ = trainer.run_step(batch, with_metrics, dev_batch=dev)
-            jax.block_until_ready(metrics["loss"])
+            # fetch the scalar: on the remote-execution tunnel
+            # block_until_ready returns at dispatch, so a device->host
+            # read is the only way to force completion (same method as
+            # bench.py). Adds one tunnel RTT per step — the reported
+            # step time is a slight overestimate.
+            float(np.asarray(metrics["loss"]))
             t = time.perf_counter()
             if t_prev is not None:
                 times.append(t - t_prev)

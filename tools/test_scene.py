@@ -52,7 +52,7 @@ def parse_args():
     p.add_argument("--occupancy_fractions", type=float, nargs="+",
                    default=[1.0, 0.4, 0.2, 0.1])
     p.add_argument("--execution", default="dense_flow",
-                   choices=["sparse", "dense_flow"])
+                   choices=["sparse", "dense_flow", "folded"])
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--tap_order", default="c", choices=["c", "flipped"],

@@ -70,8 +70,8 @@ def parse_args():
     p.add_argument("--max_steps", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--execution", default="dense_flow",
-                   choices=["sparse", "dense_flow"],
-                   help="dense_flow = masked dense grids (TPU fast path)")
+                   choices=["sparse", "dense_flow", "folded"],
+                   help="dense_flow = masked dense grids; folded = lane-dense\n                   layout (fastest on TPU)")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.set_defaults(logweight_target_sdf=True, use_loss_masking=True)
