@@ -63,13 +63,21 @@ def prefetch_to_device(batches, mesh: Mesh, size: int = 2):
         yield buf.popleft()
 
 
-def device_batch(batch: dict, num_devices: int) -> dict:
+def device_batch(batch: dict, num_devices: int,
+                 transfer_dtype=np.float32) -> dict:
     """Regroup a collated global batch into per-device sub-batches.
 
     Every array gains a leading [D] axis; sparse coordinate batch indices
     are rewritten to be device-local. The global batch size must divide by
     num_devices; sparse rows are re-collated per device with equal
     capacity (global_cap // D each).
+
+    ``transfer_dtype``: dtype the float arrays (input sdf, target sdf,
+    hierarchy) are SHIPPED in; the step casts back to f32 on device
+    (train/step.py:_unpack_batch). bfloat16 halves the H2D bytes — the
+    dominant train-step cost on hosts with a slow device link — at a max
+    SDF quantization error of ~0.008 voxel on the +-3-voxel range
+    (values are consumed clamped to the truncation band).
     """
     B = batch["sdf"].shape[0]
     assert B % num_devices == 0, f"batch {B} not divisible by {num_devices}"
@@ -95,15 +103,20 @@ def device_batch(batch: dict, num_devices: int) -> dict:
     def split(a):
         return a.reshape(num_devices, per, *a.shape[1:])
 
+    td = np.dtype(transfer_dtype)
+
+    def fcast(a):
+        return a.astype(td) if a.dtype == np.float32 else a
+
     out = {
         "input_locs": out_locs,
-        "input_sdf": out_feats,
+        "input_sdf": fcast(out_feats),
         "input_num_valid": out_num,
-        "sdf": split(batch["sdf"]),
+        "sdf": fcast(split(batch["sdf"])),
         "known": split(batch["known"]),
     }
     if batch.get("hierarchy") is not None:
-        out["hierarchy"] = [split(h) for h in batch["hierarchy"]]
+        out["hierarchy"] = [fcast(split(h)) for h in batch["hierarchy"]]
     else:
         out["hierarchy"] = None
     return out

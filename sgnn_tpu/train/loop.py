@@ -64,6 +64,9 @@ class TrainOptions:
     occupancy_fractions: tuple = (1.0, 0.5, 0.25, 0.125)
     execution: str = "sparse"  # "sparse" | "dense_flow" | "folded"
     compute_dtype: str = "float32"
+    # dtype float batch arrays are SHIPPED to the device in; bfloat16
+    # halves H2D bytes (parallel/mesh.py:device_batch)
+    transfer_dtype: str = "float32"
     # 0 = LR steps per epoch (StepLR); >0 = halve every N iterations
     # (train.py --scheduler_step_size)
     scheduler_step_size: int = 0
@@ -262,7 +265,10 @@ class Trainer:
     def device_transform(self, batch):
         """BatchLoader ``transform``: per-device re-collation in the worker
         thread, off the step critical path (parallel/mesh.py:device_batch)."""
-        batch["_device"] = PM.device_batch(batch, self.num_devices)
+        batch["_device"] = PM.device_batch(
+            batch, self.num_devices,
+            transfer_dtype=self.opts.transfer_dtype,
+        )
         return batch
 
     def _prefetch(self, loader, size: int = 2):
@@ -274,7 +280,10 @@ class Trainer:
         for b in loader:
             d = b.get("_device")
             if d is None:
-                d = PM.device_batch(b, self.num_devices)
+                d = PM.device_batch(
+                    b, self.num_devices,
+                    transfer_dtype=self.opts.transfer_dtype,
+                )
             buf.append((b, PM.put_device_batch(d, self.mesh)))
             if len(buf) >= size:
                 yield buf.popleft()
@@ -296,7 +305,10 @@ class Trainer:
         if dev_batch is None:
             dev_batch = batch.get("_device")
         if dev_batch is None:
-            dev_batch = PM.device_batch(batch, self.num_devices)
+            dev_batch = PM.device_batch(
+                batch, self.num_devices,
+                transfer_dtype=self.opts.transfer_dtype,
+            )
         step = self._train_step(n_active, do_surf, with_metrics)
         self.state, metrics = step(
             self.state, dev_batch, lw.astype(np.float32), np.float32(lr)

@@ -25,17 +25,24 @@ from sgnn_tpu.train.state import TrainState, apply_updates
 
 
 def _unpack_batch(cfg: SGNNConfig, batch):
-    """Per-device batch (leading [1] axis from shard_map) -> tensors."""
+    """Per-device batch (leading [1] axis from shard_map) -> tensors.
+
+    Float arrays may arrive in a reduced transfer dtype (bfloat16, see
+    parallel/mesh.py:device_batch); loss math stays f32 — cast back here.
+    """
     st = make_sparse(
-        batch["input_locs"][0],
-        batch["input_sdf"][0],
+        batch["input_locs"][0].astype(jnp.int32),
+        batch["input_sdf"][0].astype(jnp.float32),
         batch["input_num_valid"][0],
         cfg.input_dim,
         cfg.batch_size,
     )
-    sdf = batch["sdf"][0]
+    sdf = batch["sdf"][0].astype(jnp.float32)
     known = batch["known"][0]
-    hierarchy = [h[0] for h in batch["hierarchy"]] if batch["hierarchy"] else None
+    hierarchy = (
+        [h[0].astype(jnp.float32) for h in batch["hierarchy"]]
+        if batch["hierarchy"] else None
+    )
     return st, sdf, known, hierarchy
 
 

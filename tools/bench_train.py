@@ -59,6 +59,7 @@ def main():
     ap.add_argument("--num_chunks", type=int, default=64)
     ap.add_argument("--execution", default="dense_flow")
     ap.add_argument("--compute_dtype", default="bfloat16")
+    ap.add_argument("--transfer_dtype", default="float32")
     ap.add_argument("--log_every", type=int, default=20)
     args = ap.parse_args()
 
@@ -94,6 +95,7 @@ def main():
         lr=1e-3,
         execution=args.execution,
         compute_dtype=args.compute_dtype,
+        transfer_dtype=args.transfer_dtype,
         log_every=args.log_every,
         ckpt_every=0,
         save_epoch=0,

@@ -74,6 +74,11 @@ def parse_args():
                    help="dense_flow = masked dense grids; folded = lane-dense\n                   layout (fastest on TPU)")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--transfer_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="dtype float batch arrays are shipped to the "
+                        "device in (bfloat16 halves H2D bytes; loss "
+                        "math stays f32 on device)")
     p.set_defaults(logweight_target_sdf=True, use_loss_masking=True)
     args = p.parse_args()
     assert not (args.no_pass_feats and args.no_pass_occ)
@@ -156,6 +161,7 @@ def main():
         max_steps=args.max_steps,
         execution=args.execution,
         compute_dtype=args.compute_dtype,
+        transfer_dtype=args.transfer_dtype,
         scheduler_step_size=args.scheduler_step_size,
         ckpt_backend=args.ckpt_backend,
     )
