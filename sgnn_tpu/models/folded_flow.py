@@ -57,16 +57,17 @@ def _bn_groups(params, stats, groups, fm):
 
 
 def _resblock(params, stats, fg, fm):
-    # both BN -> conv pairs run as single fused kernel sites (v3)
+    # both BN -> conv pairs run as single fused kernel sites (v3); the
+    # identity branch is added INSIDE the second kernel (no full-grid
+    # XLA add pass)
     y = FO.subm_conv_fused(
         [fg], fm, params["conv0"], params["conv0"].shape[-1],
         bn_params=params["bn0"], bn_stats=stats["bn0"],
     )
-    y = FO.subm_conv_fused(
+    return FO.subm_conv_fused(
         [y], fm, params["conv1"], params["conv1"].shape[-1],
-        bn_params=params["bn1"], bn_stats=stats["bn1"],
+        bn_params=params["bn1"], bn_stats=stats["bn1"], residual=fg,
     )
-    return fg.with_data(fg.data + y.data)
 
 
 def _unet(params, stats, fg, fm):
@@ -81,11 +82,12 @@ def _unet(params, stats, fg, fm):
         bn_params=params["down_bn"], bn_stats=stats["down_bn"],
     )
     deep = _unet(params["deeper"], stats["deeper"], down, down_fm)
-    ups = []
-    for d in deep:
-        u = FO.upsample2_folded(d)
-        ups.append(u.with_data(u.data * fm.data))
-    return [x, *ups]
+    # NO mask multiply on the upsampled groups: every consumer (upconv /
+    # head / downstream conv sites) applies the level mask in-kernel with
+    # its input affine, and garbage can only sit at fine sites whose
+    # coarse parent is inactive — all masked out there (maxpool mask
+    # invariant). Saves one full-grid pass per upsampled group.
+    return [x, *[FO.upsample2_folded(d) for d in deep]]
 
 
 def _encoder_layer(params, stats, groups, fm, cpad_out=None):

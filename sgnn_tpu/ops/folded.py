@@ -501,7 +501,8 @@ def bn_folded(params: dict, stats: dict, fg: FGrid, fm: FGrid, *,
 def subm_conv_fused(groups: list, fm: FGrid, w27: jax.Array, cout: int, *,
                     bn_params: dict | None = None,
                     bn_stats: dict | None = None,
-                    relu: bool = True, eps: float = 1e-4) -> FGrid:
+                    relu: bool = True, eps: float = 1e-4,
+                    residual: FGrid | None = None) -> FGrid:
     """Fused conv SITE: one Pallas kernel for [optional eval-BN affine +
     ReLU + input mask] -> multi-group 3^3 conv -> output mask -> halo'd
     output (ops/pallas/conv3d_folded.py:fused_conv_folded kernel v3).
@@ -536,6 +537,7 @@ def subm_conv_fused(groups: list, fm: FGrid, w27: jax.Array, cout: int, *,
     out = fused_conv_folded(
         [g.data for g in groups], fm.data, ws, cpad,
         affines=affines if bn_params is not None else None, relu=relu,
+        residual=residual.data if residual is not None else None,
     )
     return FGrid(out, fg0.dims, cout, cpad)
 

@@ -306,10 +306,19 @@ conv3d_3x3x3_folded.defvjp(_conv_fwd, _conv_bwd)
 # programs, so the result is directly the next conv's operand.
 
 
-def _kernel_fused(*refs, G, tz, ty, xq, cpad, relu, has_affine, acc_dtype):
+def _kernel_fused(*refs, G, tz, ty, xq, cpad, relu, has_affine, has_resid,
+                  acc_dtype):
     xrefs = refs[:G]
-    mask_ref, wm_ref, wc_ref, ab_ref, out_ref = refs[G:G + 5]
-    tbuf, obuf, zb_z, zb_y, zb_c, in_sems, out_sems, ring_sems = refs[G + 5:]
+    if has_resid:
+        mask_ref, resid_ref, wm_ref, wc_ref, ab_ref, out_ref = \
+            refs[G:G + 6]
+        (tbuf, rbuf, obuf, zb_z, zb_y, zb_c, in_sems, out_sems,
+         ring_sems) = refs[G + 6:]
+    else:
+        mask_ref, wm_ref, wc_ref, ab_ref, out_ref = refs[G:G + 5]
+        (tbuf, obuf, zb_z, zb_y, zb_c, in_sems, out_sems,
+         ring_sems) = refs[G + 5:]
+        rbuf = None
 
     nz = pl.num_programs(1)
     ny = pl.num_programs(2)
@@ -336,6 +345,13 @@ def _kernel_fused(*refs, G, tz, ty, xq, cpad, relu, has_affine, acc_dtype):
             tbuf.at[slot, G],
             in_sems.at[slot, G],
         ))
+        if has_resid:
+            dmas.append(pltpu.make_async_copy(
+                resid_ref.at[bb, pl.ds(z0 + 1, tz), pl.ds(y0 + 1, ty),
+                             :, :],
+                rbuf.at[slot],
+                in_sems.at[slot, G + 1],
+            ))
         return dmas
 
     @pl.when(k == 0)
@@ -391,6 +407,9 @@ def _kernel_fused(*refs, G, tz, ty, xq, cpad, relu, has_affine, acc_dtype):
 
     om = mt[1:1 + tz, 1:1 + ty].reshape(rows, LANES).astype(acc_dtype)
     res = (acc * om).astype(out_ref.dtype)
+    if has_resid:
+        # residual is already masked upstream, so add after the mask
+        res = res + rbuf[slot].reshape(rows, LANES)
     obuf[slot] = res.reshape(tz, ty, xq, LANES)
     out_dma = pltpu.make_async_copy(
         obuf.at[slot],
@@ -444,7 +463,8 @@ def _kernel_fused(*refs, G, tz, ty, xq, cpad, relu, has_affine, acc_dtype):
         ).wait()
 
 
-def _pick_tiles_budget(Z, Y, xq, G, itemsize, budget_bytes=12_500_000):
+def _pick_tiles_budget(Z, Y, xq, G, itemsize, budget_bytes=12_500_000,
+                       extra_interior_bytes=0):
     """Largest (tz, ty) divisors of (Z, Y) fitting Mosaic's ~16 MB scoped
     VMEM, accounting for the DMA buffers AND the kernel-body stack: the
     f32 affine temporary, the carry shift copies, and the f32 accumulator
@@ -461,6 +481,7 @@ def _pick_tiles_budget(Z, Y, xq, G, itemsize, budget_bytes=12_500_000):
             R = tz * ty * xq * LANES               # interior elements
             cost = 2 * (G + 1) * T * itemsize      # tbuf (2 slots)
             cost += 2 * R * itemsize               # obuf (2 slots)
+            cost += R * extra_interior_bytes       # e.g. residual rbuf
             cost += T * (4 + 3 * itemsize)         # affine f32 + shifts
             cost += R * 4                          # f32 accumulator
             cost += (tz + ty + 1) * xq * LANES * itemsize  # zero ring bufs
@@ -478,12 +499,15 @@ def fused_conv_folded(
     *,
     affines: list | None = None,  # G (scale[128] f32, bias[128] f32) pairs
     relu: bool = True,
+    residual: jax.Array | None = None,  # halo'd grid added to the output
 ) -> jax.Array:
     """Fused folded conv site -> HALO'D masked output [B, Z+2, Y+2, xq, 128].
 
-    out_interior = mask * sum_g conv3(in_g'), halo ring written zero;
-    in_g' = relu(in_g * scale_g + bias_g) * mask when affines are given
-    (BN-eval fused), else in_g as-is (inputs already masked).
+    out_interior = mask * sum_g conv3(in_g') [+ residual], halo ring
+    written zero; in_g' = relu(in_g * scale_g + bias_g) * mask when
+    affines are given (BN-eval fused), else in_g as-is (inputs already
+    masked). ``residual`` must be masked upstream (it is added after the
+    output mask — the resblock's identity branch, nn/blocks semantics).
     """
     G = len(xs)
     assert G >= 1 and len(w27s) == G
@@ -511,33 +535,47 @@ def fused_conv_folded(
     else:
         ab = jnp.zeros((2, G, LANES), jnp.float32)
 
-    tz, ty = _pick_tiles_budget(Z, Y, xq, G, jnp.dtype(dt).itemsize)
+    has_resid = residual is not None
+    tz, ty = _pick_tiles_budget(
+        Z, Y, xq, G, jnp.dtype(dt).itemsize,
+        extra_interior_bytes=2 * jnp.dtype(dt).itemsize if has_resid else 0,
+    )
     grid = (B, Z // tz, Y // ty)
     kernel = functools.partial(
         _kernel_fused, G=G, tz=tz, ty=ty, xq=xq, cpad=cpad,
-        relu=relu, has_affine=has_affine, acc_dtype=jnp.float32,
+        relu=relu, has_affine=has_affine, has_resid=has_resid,
+        acc_dtype=jnp.float32,
     )
+    n_in = G + 1 + (1 if has_resid else 0)
+    scratch = [
+        pltpu.VMEM((2, G + 1, tz + 2, ty + 2, xq, LANES), dt),  # tbuf
+    ]
+    if has_resid:
+        scratch.append(pltpu.VMEM((2, tz, ty, xq, LANES), dt))  # rbuf
+    scratch += [
+        pltpu.VMEM((2, tz, ty, xq, LANES), dt),                 # obuf
+        pltpu.VMEM((1, ty, xq, LANES), dt),                     # zb_z
+        pltpu.VMEM((tz, 1, xq, LANES), dt),                     # zb_y
+        pltpu.VMEM((1, 1, xq, LANES), dt),                      # zb_c
+        pltpu.SemaphoreType.DMA((2, n_in)),                     # in_sems
+        pltpu.SemaphoreType.DMA((2,)),                          # out_sems
+        pltpu.SemaphoreType.DMA((8,)),                          # ring_sems
+    ]
+    operands = [*xs, mask]
+    if has_resid:
+        operands.append(residual.astype(dt))
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (G + 1) + [
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in + [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wm
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wc
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ab
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((B, Zp, Yp, xq, LANES), dt),
-        scratch_shapes=[
-            pltpu.VMEM((2, G + 1, tz + 2, ty + 2, xq, LANES), dt),  # tbuf
-            pltpu.VMEM((2, tz, ty, xq, LANES), dt),                 # obuf
-            pltpu.VMEM((1, ty, xq, LANES), dt),                     # zb_z
-            pltpu.VMEM((tz, 1, xq, LANES), dt),                     # zb_y
-            pltpu.VMEM((1, 1, xq, LANES), dt),                      # zb_c
-            pltpu.SemaphoreType.DMA((2, G + 1)),                    # in_sems
-            pltpu.SemaphoreType.DMA((2,)),                          # out_sems
-            pltpu.SemaphoreType.DMA((8,)),                          # ring_sems
-        ],
-    )(*xs, mask, wm, wc, ab)
+        scratch_shapes=scratch,
+    )(*operands, wm, wc, ab)
 
 
 # ------------------------------------------------- fused upsample-conv (v3)
