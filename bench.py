@@ -73,6 +73,7 @@ def main():
         input_dim=SCENE_DIM, batch_size=1, num_hierarchy_levels=4,
         occupancy_fractions=FRACTIONS, execution=execution,
         compute_dtype=dtype, use_pallas_conv=use_pallas,
+        quantize_int8=bool(os.environ.get("SGNN_BENCH_INT8")),
     )
     params, stats = M.genmodel_init(jax.random.PRNGKey(0), cfg)
     locs, feats, num = _synthetic_sparse_input(cfg)

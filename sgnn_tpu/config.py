@@ -47,6 +47,11 @@ class SGNNConfig:
     # dense_flow inference only: route eligible 3^3 convs through the
     # lane-folded Pallas kernel (ops/pallas/conv3d_folded.py)
     use_pallas_conv: bool = False
+    # int8 GEMMs in the folded 3^3 conv-site kernels (inference only;
+    # approximate — dynamic per-tile activation scales, static per-column
+    # weight scales). ~2x MXU rate on the dominant kernels at ~0.4% RMS
+    # activation rounding error per conv.
+    quantize_int8: bool = False
     # route only convs on volumes with at least this many voxels: below it
     # the kernel's fixed costs (fold reshape/pad at the XLA boundary, DMA
     # setup) outweigh its GEMM win (measured: tools/bench_kernel.py)

@@ -56,24 +56,25 @@ def _bn_groups(params, stats, groups, fm):
     return outs
 
 
-def _resblock(params, stats, fg, fm):
+def _resblock(params, stats, fg, fm, q=False):
     # both BN -> conv pairs run as single fused kernel sites (v3); the
     # identity branch is added INSIDE the second kernel (no full-grid
     # XLA add pass)
     y = FO.subm_conv_fused(
         [fg], fm, params["conv0"], params["conv0"].shape[-1],
-        bn_params=params["bn0"], bn_stats=stats["bn0"],
+        bn_params=params["bn0"], bn_stats=stats["bn0"], quantize=q,
     )
     return FO.subm_conv_fused(
         [y], fm, params["conv1"], params["conv1"].shape[-1],
         bn_params=params["bn1"], bn_stats=stats["bn1"], residual=fg,
+        quantize=q,
     )
 
 
-def _unet(params, stats, fg, fm):
+def _unet(params, stats, fg, fm, q=False):
     """FullyConvolutionalNet (reps=1, residual); returns GROUPS (the
     virtual concat of pyramid levels) + the same fm."""
-    x = _resblock(params["block"], stats["block"], fg, fm)
+    x = _resblock(params["block"], stats["block"], fg, fm, q=q)
     if "deeper" not in params:
         return [x]
     # down path: BN + stride-2 conv + mask-down as ONE fused kernel
@@ -81,7 +82,7 @@ def _unet(params, stats, fg, fm):
         x, fm, params["down_conv"], params["down_conv"].shape[-1],
         bn_params=params["down_bn"], bn_stats=stats["down_bn"],
     )
-    deep = _unet(params["deeper"], stats["deeper"], down, down_fm)
+    deep = _unet(params["deeper"], stats["deeper"], down, down_fm, q=q)
     # NO mask multiply on the upsampled groups: every consumer (upconv /
     # head / downstream conv sites) applies the level mask in-kernel with
     # its input affine, and garbage can only sit at fine sites whose
@@ -90,10 +91,10 @@ def _unet(params, stats, fg, fm):
     return [x, *[FO.upsample2_folded(d) for d in deep]]
 
 
-def _encoder_layer(params, stats, groups, fm, cpad_out=None):
+def _encoder_layer(params, stats, groups, fm, cpad_out=None, q=False):
     x = FO.subm_conv_fused(groups, fm, params["p1"],
-                           params["p1"].shape[-1])
-    x = _resblock(params["p2"], stats["p2"], x, fm)
+                           params["p1"].shape[-1], quantize=q)
+    x = _resblock(params["p2"], stats["p2"], x, fm, q=q)
     y = _bn_groups(params["p2_bn"], stats["p2_bn"], [x], fm)[0]
     # y is also the skip output, so its BN stays materialized; the
     # strided conv + mask-down fuse into one kernel (widening the lane
@@ -118,6 +119,7 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
     # GEMM rows and half the grid bytes of every level-0 op
     cpad0 = 8 if (cfg.input_nf <= 8 and cfg.nf_per_level[0] <= 8
                   and X % 16 == 0) else CPAD
+    q8 = bool(getattr(cfg, "quantize_int8", False))
     fg, fm = FO.scatter_sparse(
         st.locs, st.feats, st.num_valid, st.spatial_size, B,
         cpad=cpad0, dtype=dt, feat_bound=cfg.truncation,
@@ -131,6 +133,7 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
             params["encoder"]["process_sparse"][lvl],
             stats["encoder"]["process_sparse"][lvl], [x], m,
             cpad_out=CPAD if lvl == 0 and cpad0 != CPAD else None,
+            q=q8,
         )
         if lvl == 0 and cpad0 != CPAD:
             # the full-res skip is consumed at cpad 16 (surface p1 site)
@@ -162,8 +165,9 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
     ref_masks = []
 
     def refine_level(p, st_h, cur, cur_fm):
-        z = FO.subm_conv_fused(cur, cur_fm, p["p1"], p["p1"].shape[-1])
-        zg = _unet(p["p2"], st_h["p2"], z, cur_fm)
+        z = FO.subm_conv_fused(cur, cur_fm, p["p1"], p["p1"].shape[-1],
+                               quantize=q8)
+        zg = _unet(p["p2"], st_h["p2"], z, cur_fm, q=q8)
         # generative 2x upsample + n1 conv as ONE kernel reading the
         # coarse groups, with the p3 BN folded into its input affine
         fm_unfilt = FO.upsample2_folded(cur_fm)
@@ -216,8 +220,9 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
         if cfg.use_skip_sparse:
             sk, _sk_fm = skips[0]
             cur = [*cur, sk.with_data(sk.data * cur_fm.data)]
-        z = FO.subm_conv_fused(cur, cur_fm, p["p1"], p["p1"].shape[-1])
-        zg = _unet(p["p2"], st_s["p2"], z, cur_fm)
+        z = FO.subm_conv_fused(cur, cur_fm, p["p1"], p["p1"].shape[-1],
+                               quantize=q8)
+        zg = _unet(p["p2"], st_s["p2"], z, cur_fm, q=q8)
         if os.environ.get("SGNN_NO_HEADK"):
             zg = _bn_groups(p["p3"], st_s["p3"], zg, cur_fm)
             surf_fg = None

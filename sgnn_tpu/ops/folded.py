@@ -502,7 +502,8 @@ def subm_conv_fused(groups: list, fm: FGrid, w27: jax.Array, cout: int, *,
                     bn_params: dict | None = None,
                     bn_stats: dict | None = None,
                     relu: bool = True, eps: float = 1e-4,
-                    residual: FGrid | None = None) -> FGrid:
+                    residual: FGrid | None = None,
+                    quantize: bool = False) -> FGrid:
     """Fused conv SITE: one Pallas kernel for [optional eval-BN affine +
     ReLU + input mask] -> multi-group 3^3 conv -> output mask -> halo'd
     output (ops/pallas/conv3d_folded.py:fused_conv_folded kernel v3).
@@ -538,6 +539,7 @@ def subm_conv_fused(groups: list, fm: FGrid, w27: jax.Array, cout: int, *,
         [g.data for g in groups], fm.data, ws, cpad,
         affines=affines if bn_params is not None else None, relu=relu,
         residual=residual.data if residual is not None else None,
+        quantize=quantize,
     )
     return FGrid(out, fg0.dims, cout, cpad)
 

@@ -307,17 +307,31 @@ conv3d_3x3x3_folded.defvjp(_conv_fwd, _conv_bwd)
 
 
 def _kernel_fused(*refs, G, tz, ty, xq, cpad, relu, has_affine, has_resid,
-                  acc_dtype):
+                  acc_dtype, quant=False):
     xrefs = refs[:G]
+    i = G
     if has_resid:
-        mask_ref, resid_ref, wm_ref, wc_ref, ab_ref, out_ref = \
-            refs[G:G + 6]
-        (tbuf, rbuf, obuf, zb_z, zb_y, zb_c, in_sems, out_sems,
-         ring_sems) = refs[G + 6:]
+        mask_ref, resid_ref = refs[i], refs[i + 1]
+        i += 2
     else:
-        mask_ref, wm_ref, wc_ref, ab_ref, out_ref = refs[G:G + 5]
+        mask_ref = refs[i]
+        resid_ref = None
+        i += 1
+    wm_ref, wc_ref, ab_ref = refs[i:i + 3]
+    i += 3
+    if quant:
+        ws_ref = refs[i]
+        i += 1
+    else:
+        ws_ref = None
+    out_ref = refs[i]
+    i += 1
+    if has_resid:
+        (tbuf, rbuf, obuf, zb_z, zb_y, zb_c, in_sems, out_sems,
+         ring_sems) = refs[i:]
+    else:
         (tbuf, obuf, zb_z, zb_y, zb_c, in_sems, out_sems,
-         ring_sems) = refs[G + 5:]
+         ring_sems) = refs[i:]
         rbuf = None
 
     nz = pl.num_programs(1)
@@ -377,7 +391,7 @@ def _kernel_fused(*refs, G, tz, ty, xq, cpad, relu, has_affine, has_resid,
     slot = k % 2
     mt = tbuf[slot, G]  # [tz+2, ty+2, xq, 128] 0/1 (halo ring zero)
     rows = tz * ty * xq
-    acc = jnp.zeros((rows, LANES), acc_dtype)
+    acc = jnp.zeros((rows, LANES), jnp.float32 if quant else acc_dtype)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, LANES), 3)
     for g in range(G):
         t = tbuf[slot, g]
@@ -385,7 +399,21 @@ def _kernel_fused(*refs, G, tz, ty, xq, cpad, relu, has_affine, has_resid,
             tf = t.astype(jnp.float32) * ab_ref[0, g] + ab_ref[1, g]
             if relu:
                 tf = jnp.maximum(tf, 0.0)
-            t = (tf * mt.astype(jnp.float32)).astype(t.dtype)
+            tf = tf * mt.astype(jnp.float32)
+            t = tf.astype(t.dtype)
+        elif quant:
+            tf = t.astype(jnp.float32)
+        if quant:
+            # dynamic per-(tile, group) symmetric int8: q = round(x/s),
+            # s = amax/127. int8 GEMMs accumulate exactly in int32; the
+            # only error is the activation rounding (~0.4% RMS/conv).
+            # Weight columns carry their own static scales (ws_ref).
+            amax = jnp.max(jnp.abs(tf))
+            scale = jnp.maximum(amax, 1e-8) / 127.0
+            q = jnp.clip(
+                jnp.round(tf * (1.0 / scale)), -127.0, 127.0
+            ).astype(jnp.int8)
+            t = q
         # carry lhs: lanes < cpad take the NEXT x-block (dx=+1 carry into
         # out slot F-1), lanes >= 128-cpad the PREVIOUS (dx=-1 into slot
         # 0); middle lanes hit zero weight rows (see _fold_weights)
@@ -393,17 +421,39 @@ def _kernel_fused(*refs, G, tz, ty, xq, cpad, relu, has_affine, has_resid,
         nxt = jnp.concatenate([t[:, :, 1:], zrow], axis=2)
         prv = jnp.concatenate([zrow, t[:, :, :-1]], axis=2)
         carry = jnp.where(lane < cpad, nxt, prv)
-        for dz in range(3):
-            for dy in range(3):
-                kk = dz * 3 + dy
-                lhs_m = t[dz:dz + tz, dy:dy + ty].reshape(rows, LANES)
-                acc = acc + jnp.dot(
-                    lhs_m, wm_ref[g, kk], preferred_element_type=acc_dtype
-                )
-                lhs_c = carry[dz:dz + tz, dy:dy + ty].reshape(rows, LANES)
-                acc = acc + jnp.dot(
-                    lhs_c, wc_ref[g, kk], preferred_element_type=acc_dtype
-                )
+        if quant:
+            iacc = jnp.zeros((rows, LANES), jnp.int32)
+            for dz in range(3):
+                for dy in range(3):
+                    kk = dz * 3 + dy
+                    lhs_m = t[dz:dz + tz, dy:dy + ty].reshape(rows, LANES)
+                    iacc = iacc + jnp.dot(
+                        lhs_m, wm_ref[g, kk],
+                        preferred_element_type=jnp.int32,
+                    )
+                    lhs_c = carry[dz:dz + tz, dy:dy + ty].reshape(
+                        rows, LANES)
+                    iacc = iacc + jnp.dot(
+                        lhs_c, wc_ref[g, kk],
+                        preferred_element_type=jnp.int32,
+                    )
+            # dequant: activation scale (scalar) x per-column weight scale
+            acc = acc + iacc.astype(jnp.float32) * (scale * ws_ref[g])
+        else:
+            for dz in range(3):
+                for dy in range(3):
+                    kk = dz * 3 + dy
+                    lhs_m = t[dz:dz + tz, dy:dy + ty].reshape(rows, LANES)
+                    acc = acc + jnp.dot(
+                        lhs_m, wm_ref[g, kk],
+                        preferred_element_type=acc_dtype
+                    )
+                    lhs_c = carry[dz:dz + tz, dy:dy + ty].reshape(
+                        rows, LANES)
+                    acc = acc + jnp.dot(
+                        lhs_c, wc_ref[g, kk],
+                        preferred_element_type=acc_dtype
+                    )
 
     om = mt[1:1 + tz, 1:1 + ty].reshape(rows, LANES).astype(acc_dtype)
     res = (acc * om).astype(out_ref.dtype)
@@ -500,6 +550,8 @@ def fused_conv_folded(
     affines: list | None = None,  # G (scale[128] f32, bias[128] f32) pairs
     relu: bool = True,
     residual: jax.Array | None = None,  # halo'd grid added to the output
+    quantize: bool = False,  # int8 GEMMs (static per-column weight scales
+                             # + dynamic per-tile activation scales)
 ) -> jax.Array:
     """Fused folded conv site -> HALO'D masked output [B, Z+2, Y+2, xq, 128].
 
@@ -526,6 +578,23 @@ def fused_conv_folded(
         wcs.append(wc)
     wm = jnp.stack(wms)  # [G, 9, 128, 128]
     wc = jnp.stack(wcs)
+    if quantize:
+        # symmetric per-(group, output-column) weight scales shared by the
+        # main and carry matrices (their columns feed the same output)
+        amax = jnp.maximum(
+            jnp.max(jnp.abs(wm.astype(jnp.float32)), axis=(1, 2)),
+            jnp.max(jnp.abs(wc.astype(jnp.float32)), axis=(1, 2)),
+        )  # [G, 128]
+        ws = jnp.maximum(amax, 1e-8) / 127.0
+        inv = (1.0 / ws)[:, None, None, :]
+        wm = jnp.clip(
+            jnp.round(wm.astype(jnp.float32) * inv), -127.0, 127.0
+        ).astype(jnp.int8)
+        wc = jnp.clip(
+            jnp.round(wc.astype(jnp.float32) * inv), -127.0, 127.0
+        ).astype(jnp.int8)
+    else:
+        ws = None
     has_affine = affines is not None
     if has_affine:
         ab = jnp.stack([
@@ -544,7 +613,7 @@ def fused_conv_folded(
     kernel = functools.partial(
         _kernel_fused, G=G, tz=tz, ty=ty, xq=xq, cpad=cpad,
         relu=relu, has_affine=has_affine, has_resid=has_resid,
-        acc_dtype=jnp.float32,
+        acc_dtype=jnp.float32, quant=quantize,
     )
     n_in = G + 1 + (1 if has_resid else 0)
     scratch = [
@@ -564,18 +633,23 @@ def fused_conv_folded(
     operands = [*xs, mask]
     if has_resid:
         operands.append(residual.astype(dt))
+    w_operands = [wm, wc, ab]
+    w_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # wm
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # wc
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # ab
+    ]
+    if quantize:
+        w_operands.append(ws)
+        w_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # ws
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in + [
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wm
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wc
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ab
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in + w_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((B, Zp, Yp, xq, LANES), dt),
         scratch_shapes=scratch,
-    )(*operands, wm, wc, ab)
+    )(*operands, *w_operands)
 
 
 # ------------------------------------------------- fused upsample-conv (v3)

@@ -533,3 +533,36 @@ def test_conv_folded_train_vjp(rng):
         np.asarray(gx2)[:, 1:-1, 1:-1], np.asarray(gx1)[:, 1:-1, 1:-1],
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_fused_conv_int8_interpret(rng):
+    """int8 quantized conv site vs the exact path: small relative error
+    (dynamic per-tile activation scales, per-column weight scales)."""
+    import jax.numpy as jnp
+
+    import sgnn_tpu.ops.pallas.conv3d_folded as PC
+    from sgnn_tpu.ops import folded as FO
+
+    orig = PC.pl.pallas_call
+    PC.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        B, Z, Y, X = 1, 8, 16, 16
+        cpad, c, cout = 16, 16, 16
+        mask_dense = rng.rand(B, Z, Y, X) > 0.4
+        fm = FO.fold_mask(jnp.asarray(mask_dense), cpad, jnp.float32)
+        d = (rng.randn(B, Z, Y, X, c) * mask_dense[..., None]).astype(
+            np.float32)
+        fg = FO.fold(jnp.asarray(d), cpad)
+        w = jnp.asarray(rng.randn(27, c, cout).astype(np.float32) * 0.2)
+        exact = np.asarray(FO.unfold(
+            FO.subm_conv_fused([fg], fm, w, cout)))
+        q = np.asarray(FO.unfold(
+            FO.subm_conv_fused([fg], fm, w, cout, quantize=True)))
+        scale = np.abs(exact).max()
+        rel = np.abs(q - exact).max() / scale
+        assert rel < 0.02, rel  # int8 rounding: ~1% of dynamic range
+        # and well-correlated
+        cc = np.corrcoef(exact.ravel(), q.ravel())[0, 1]
+        assert cc > 0.999
+    finally:
+        PC.pl.pallas_call = orig

@@ -119,3 +119,41 @@ def test_folded_partial_levels(rng, interpret_pallas):
         rtol=2e-3, atol=2e-3,
     )
     assert not np.asarray(got.surf_mask).any()
+
+
+@pytest.mark.slow
+def test_folded_int8_close_to_exact(rng, interpret_pallas):
+    """quantize_int8 forward stays close to the exact folded forward:
+    high occupancy-mask agreement and small SDF error."""
+    cfg = SGNNConfig(
+        input_dim=(16, 16, 16),
+        num_hierarchy_levels=3,
+        encoder_dim=4,
+        nf_coarse=8,
+        nf=8,
+        batch_size=1,
+        execution="dense_flow",
+        compute_dtype="float32",
+        occupancy_fractions=(1.0, 1.0, 1.0),
+    )
+    params, stats = M.genmodel_init(jax.random.PRNGKey(0), cfg)
+    st = _inputs(cfg, seed=3, n=60)
+    exact = FF.genmodel_apply_folded(
+        params, stats, cfg, st, num_refine_active=2, do_surf=True,
+    )
+    q = FF.genmodel_apply_folded(
+        params, stats, dataclasses.replace(cfg, quantize_int8=True), st,
+        num_refine_active=2, do_surf=True,
+    )
+    me, mq = np.asarray(exact.surf_mask), np.asarray(q.surf_mask)
+    union = (me | mq).sum()
+    if union:
+        iou = (me & mq).sum() / union
+        assert iou > 0.95, iou
+    both = me & mq
+    if both.any():
+        err = np.abs(
+            np.asarray(exact.surf_sdf)[both] - np.asarray(q.surf_sdf)[both]
+        ).max()
+        scale = max(np.abs(np.asarray(exact.surf_sdf)[both]).max(), 1e-3)
+        assert err / scale < 0.1, (err, scale)
