@@ -18,9 +18,11 @@ inserts layout copies around every conv. Folded, the pipeline is:
 with ZERO per-op layout conversions: unfolds happen only at the coarse
 trunk boundary (1/8 resolution, cheap) and when emitting outputs.
 
-Inference-only: training runs the unfolded dense_flow path (whose
-gradients XLA handles); cross-checked against it by tests/test_folded_
-model.py on shared inputs.
+This module is the INFERENCE forward (fused eval-BN kernels, no stats
+threading); training in the same folded layout lives in
+models/folded_train.py (differentiable ops + custom-VJP convs).
+Cross-checked against dense_flow by tests/test_folded_model.py on
+shared inputs.
 
 Parameters/stats are THE SAME pytree as models/sgnn.py — sgnn.pth
 checkpoint conversions work unchanged.

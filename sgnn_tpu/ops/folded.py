@@ -41,9 +41,8 @@ formulation the TPU vector/matrix units execute at full width.
 from __future__ import annotations
 
 import dataclasses
-from functools import lru_cache, partial
-
 import functools
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -873,8 +872,13 @@ def _conv_train_impl(xf, w27, cpad):
         from sgnn_tpu.ops.pallas.conv3d_folded import conv_folded_raw
 
         B, Zp, Yp, xq, _ = xf.shape
-        return conv_folded_raw(xf, w27.astype(xf.dtype), cpad,
-                               (Zp - 2, Yp - 2, xq)).astype(jnp.float32)
+        # logical dims are not recoverable from the folded shape (the x
+        # tail is padded); conv_folded_raw only reads shapes, so pass the
+        # padded extent explicitly marked as such
+        return conv_folded_raw(
+            xf, w27.astype(xf.dtype), cpad,
+            (Zp - 2, Yp - 2, xq * (LANES // cpad)),
+        ).astype(jnp.float32)
     return conv_folded_xla(xf, w27, cpad)
 
 
@@ -909,21 +913,21 @@ def _conv_train_bwd(cpad, res, g):
     dx = _rehalo(dxi.astype(xf.dtype), xq)
     # ---- dW: M[k] = lhs_k^T @ g per (dz, dy) for main and carry lhs,
     # then the adjoint of _fold_weights' constant slot patterns
-    from sgnn_tpu.ops.pallas.conv3d_folded import LANES as _L
+    from sgnn_tpu.ops.pallas.conv3d_folded import _slot_patterns
 
-    fold = _L // cpad
+    fold = LANES // cpad
     zrow = jnp.zeros_like(xf[:, :, :, :1])
     nxt = jnp.concatenate([xf[:, :, :, 1:], zrow], axis=3)
     prv = jnp.concatenate([zrow, xf[:, :, :, :-1]], axis=3)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, _L), 4)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, LANES), 4)
     carry = jnp.where(lane < cpad, nxt, prv)
-    grows = g.reshape(-1, _L)
+    grows = g.reshape(-1, LANES)
     dn = (((0,), (0,)), ((), ()))
     Mm, Mc = [], []
     for dz in range(3):
         for dy in range(3):
-            lm = xf[:, dz:dz + Z, dy:dy + Y].reshape(-1, _L)
-            lc = carry[:, dz:dz + Z, dy:dy + Y].reshape(-1, _L)
+            lm = xf[:, dz:dz + Z, dy:dy + Y].reshape(-1, LANES)
+            lc = carry[:, dz:dz + Z, dy:dy + Y].reshape(-1, LANES)
             Mm.append(jax.lax.dot_general(
                 lm, grows, dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
@@ -932,15 +936,7 @@ def _conv_train_bwd(cpad, res, g):
                 lc, grows, dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
             ))
-    import numpy as _np
-
-    eyed = _np.stack(
-        [_np.diag(_np.ones(fold - abs(k), _np.float32), k)
-         for k in (1, 0, -1)]
-    )
-    carryd = _np.zeros((3, fold, fold), _np.float32)
-    carryd[2, 0, fold - 1] = 1.0
-    carryd[0, fold - 1, 0] = 1.0
+    eyed, carryd = _slot_patterns(fold)
     Mm_r = jnp.stack(Mm).reshape(9, fold, cpad, fold, cpad)
     Mc_r = jnp.stack(Mc).reshape(9, fold, cpad, fold, cpad)
     # M rows carry (input slot j, cin c), cols (output slot i, cout o):

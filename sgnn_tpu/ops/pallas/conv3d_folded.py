@@ -130,6 +130,23 @@ def _kernel(xf_ref, wm_ref, wc_ref, out_ref, t_ref, sems, *,
     out_ref[0] = acc.reshape(tz, ty, xq, LANES).astype(out_ref.dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _slot_patterns(fold: int):
+    """Constant x-fold slot-wiring patterns shared by _fold_weights and
+    the training conv's dW adjoint (ops/folded.py:_conv_train_bwd):
+    diags[dx_idx][j, i] = 1 iff input slot j == output slot i + dx, for
+    dx in (-1, 0, +1) at indices (0, 1, 2); carry holds the two
+    cross-x-block terms."""
+    diags = np.stack(
+        [np.diag(np.ones(fold - abs(k), np.float32), k)
+         for k in (1, 0, -1)]  # np.diag k: M[r, r+k]=1 -> j = i + dx
+    )
+    carry = np.zeros((3, fold, fold), np.float32)
+    carry[2, 0, fold - 1] = 1.0  # dx=+1: next block's slot 0 -> F-1
+    carry[0, fold - 1, 0] = 1.0  # dx=-1: prev block's slot F-1 -> 0
+    return diags, carry
+
+
 def _fold_weights(weight27: jax.Array, cin: int, dtype):
     """[27, Cin, Cout<=Cin] -> (w_main [9, 128, 128], w_carry [9, 128, 128]).
 
@@ -148,14 +165,7 @@ def _fold_weights(weight27: jax.Array, cin: int, dtype):
     # constant slot-wiring patterns; the traced weights enter via ONE
     # einsum each (no per-block dynamic-update-slices in the graph: at
     # ~250 DUS per conv those cost ~10 ms/scene, measured round 2)
-    eye = np.eye(fold, dtype=np.float32)
-    diags = np.stack(  # [3, fold, fold]: D_dx[j, i] = 1 iff j == i + dx
-        [np.diag(np.ones(fold - abs(k), np.float32), k)
-         for k in (1, 0, -1)]  # np.diag k: M[r, r+k]=1 -> j = i - k = i + dx
-    )
-    carry = np.zeros((3, fold, fold), np.float32)
-    carry[2, 0, fold - 1] = 1.0  # dx=+1: next block's slot 0 -> slot F-1
-    carry[0, fold - 1, 0] = 1.0  # dx=-1: prev block's slot F-1 -> slot 0
+    diags, carry = _slot_patterns(fold)
     w9 = w.reshape(9, 3, cin, cin)  # [(dz,dy), dx, Cin, Cout]
     dj = jnp.asarray(diags)
     cj = jnp.asarray(carry)
@@ -514,7 +524,7 @@ def _kernel_fused(*refs, G, tz, ty, xq, cpad, relu, has_affine, has_resid,
 
 
 def _pick_tiles_budget(Z, Y, xq, G, itemsize, budget_bytes=12_500_000,
-                       extra_interior_bytes=0):
+                       extra_interior_bytes=0, quant=False):
     """Largest (tz, ty) divisors of (Z, Y) fitting Mosaic's ~16 MB scoped
     VMEM, accounting for the DMA buffers AND the kernel-body stack: the
     f32 affine temporary, the carry shift copies, and the f32 accumulator
@@ -534,6 +544,9 @@ def _pick_tiles_budget(Z, Y, xq, G, itemsize, budget_bytes=12_500_000,
             cost += R * extra_interior_bytes       # e.g. residual rbuf
             cost += T * (4 + 3 * itemsize)         # affine f32 + shifts
             cost += R * 4                          # f32 accumulator
+            if quant:
+                cost += R * 4                      # int32 accumulator
+                cost += T * 3                      # int8 q + shift copies
             cost += (tz + ty + 1) * xq * LANES * itemsize  # zero ring bufs
             cost += G * 2 * 9 * LANES * LANES * itemsize   # folded weights
             if cost <= budget_bytes and tz * ty > best[0] * best[1]:
@@ -608,6 +621,7 @@ def fused_conv_folded(
     tz, ty = _pick_tiles_budget(
         Z, Y, xq, G, jnp.dtype(dt).itemsize,
         extra_interior_bytes=2 * jnp.dtype(dt).itemsize if has_resid else 0,
+        quant=quantize,
     )
     grid = (B, Z // tz, Y // ty)
     kernel = functools.partial(
