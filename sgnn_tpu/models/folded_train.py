@@ -85,6 +85,49 @@ def _strided_site_f(groups, fm, w8, cout):
     return down.with_data(down.data * down_fm.data), down_fm
 
 
+def _strided_site_cross_f(y, fm, w8, cout, cpad_out):
+    """Differentiable stride-2 site that WIDENS the lane budget across
+    the stride (cpad -> 2*cpad: one fine block -> one coarse block), the
+    XLA counterpart of the fused kernel's cross mode
+    (ops/pallas/conv3d_folded.py:fused_downconv_folded)."""
+    cpad = y.cpad
+    Z, Y, X = y.dims
+    dt = y.data.dtype
+    W = FO._strided_w_cross(w8, cpad, cpad_out, y.real_c, cout).astype(dt)
+    MD = jnp.asarray(FO._mask_down_cross(cpad, cpad_out), dt)
+    d = y.data[:, 1:Z + 1, 1:Y + 1]
+    m = fm.data[:, 1:Z + 1, 1:Y + 1]
+    dn = (((4,), (0,)), ((), ()))
+    acc = None
+    macc = None
+    for dz in range(2):
+        for dy in range(2):
+            a = jax.lax.dot_general(
+                d[:, dz::2, dy::2], W[dz, dy], dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+            b = jax.lax.dot_general(
+                m[:, dz::2, dy::2], MD, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+            acc = a if acc is None else acc + a
+            macc = b if macc is None else macc + b
+    mc = jnp.minimum(macc, 1.0)
+    out = (acc * mc).astype(dt)
+    mc = mc.astype(dt)
+    xq_out = FO._xq_for(X // 2, cpad_out)
+    if out.shape[3] > xq_out:
+        out, mc = out[:, :, :, :xq_out], mc[:, :, :, :xq_out]
+    elif out.shape[3] < xq_out:
+        padw = ((0, 0),) * 3 + ((0, xq_out - out.shape[3]), (0, 0))
+        out, mc = jnp.pad(out, padw), jnp.pad(mc, padw)
+    dims_c = (Z // 2, Y // 2, X // 2)
+    return (
+        FGrid(FO._rehalo(out, xq_out), dims_c, cout, cpad_out),
+        FGrid(FO._rehalo(mc, xq_out), dims_c, cpad_out, cpad_out),
+    )
+
+
 def _unet_f(params, stats, groups, fm, *, training, axis_name):
     s = {}
     assert len(groups) == 1
@@ -106,7 +149,8 @@ def _unet_f(params, stats, groups, fm, *, training, axis_name):
     return [x, *ups], s
 
 
-def _encoder_layer_f(params, stats, groups, fm, *, training, axis_name):
+def _encoder_layer_f(params, stats, groups, fm, *, training, axis_name,
+                     cpad_out=None):
     s = {}
     x = FO.subm_conv_folded_train(groups, fm, params["p1"],
                                 params["p1"].shape[-1])
@@ -114,8 +158,12 @@ def _encoder_layer_f(params, stats, groups, fm, *, training, axis_name):
                              training=training, axis_name=axis_name)
     y, s["p2_bn"] = _mask_bn_f(params["p2_bn"], stats["p2_bn"], [x], fm,
                                training=training, axis_name=axis_name)
-    down, down_fm = _strided_site_f(y, fm, params["p3"],
-                                    params["p3"].shape[-1])
+    if cpad_out is not None and cpad_out != y[0].cpad:
+        down, down_fm = _strided_site_cross_f(
+            y[0], fm, params["p3"], params["p3"].shape[-1], cpad_out)
+    else:
+        down, down_fm = _strided_site_f(y, fm, params["p3"],
+                                        params["p3"].shape[-1])
     z, s["p3_bn"] = _mask_bn_f(params["p3_bn"], stats["p3_bn"], [down],
                                down_fm, training=training,
                                axis_name=axis_name)
@@ -133,19 +181,23 @@ def genmodel_apply_folded_train(params, stats, cfg: SGNNConfig,
     Z, Y, X = st.spatial_size
     B = st.batch_size
 
+    # level 0 at cpad 8 when widths allow (same rule as the inference
+    # path): half the GEMM rows/bytes of every full-res op, fwd AND bwd
+    cpad0 = 8 if (cfg.input_nf <= 8 and cfg.nf_per_level[0] <= 8
+                  and X % 16 == 0) else CPAD
     fg, fm = FO.scatter_sparse(
         st.locs, st.feats, st.num_valid, st.spatial_size, B,
-        cpad=CPAD, dtype=dt, feat_bound=cfg.truncation,
+        cpad=cpad0, dtype=dt, feat_bound=cfg.truncation,
     )
 
     # ---- encoder sparse levels (checkpointed: level-0 residuals are
     # full-resolution, matching dense_flow's placement)
-    def enc_layer(p, st_l, x, m):
+    def enc_layer(p, st_l, x, m, co):
         return _encoder_layer_f(p, st_l, [x], m, training=training,
-                                axis_name=axis_name)
+                                axis_name=axis_name, cpad_out=co)
 
     if training:
-        enc_layer = jax.checkpoint(enc_layer)
+        enc_layer = jax.checkpoint(enc_layer, static_argnums=(4,))
     enc_s = []
     skips = []
     x, m = fg, fm
@@ -153,8 +205,12 @@ def genmodel_apply_folded_train(params, stats, cfg: SGNNConfig,
         x, m, ft2, s_lvl = enc_layer(
             params["encoder"]["process_sparse"][lvl],
             stats["encoder"]["process_sparse"][lvl], x, m,
+            CPAD if lvl == 0 and cpad0 != CPAD else None,
         )
         enc_s.append(s_lvl)
+        if lvl == 0 and cpad0 != CPAD:
+            # the full-res skip is consumed at CPAD (surface p1 site)
+            ft2 = (FO.repack_cpad(ft2[0], CPAD), ft2[1])
         skips.append(ft2)
     skips.append((x, m))
     s["encoder"] = {"process_sparse": enc_s}
