@@ -171,12 +171,35 @@ def scatter_sparse(
         K = float(2 ** int(np.ceil(np.log2(feat_bound + 1e-6))))
         if K <= feat_bound:
             K *= 2.0
-        enc = jnp.zeros((nflat,), jnp.float32).at[base].set(
+        # scatter into a SLOT-resolution buffer (one f32 per voxel slot,
+        # 1/cpad the bytes of the lane-padded grid): scatter cost scales
+        # with the zero-initialized target it materializes, and the
+        # expansion to full lanes is one constant MXU pass each for the
+        # features (slot s -> lane s*cpad) and the replicated mask
+        base_s = (((b * (Z + 2) + z + 1) * (Y + 2) + y + 1) * xq * F
+                  + x)
+        base_s = jnp.where(valid, base_s, jnp.int32(-(1 << 30)))
+        nsmall = B * (Z + 2) * (Y + 2) * xq * F
+        enc = jnp.zeros((nsmall,), jnp.float32).at[base_s].set(
             feats[:, 0].astype(jnp.float32) + K,
             mode="drop", unique_indices=True,
+        ).reshape(B, Z + 2, Y + 2, xq, F)
+        occ = enc > 0
+        small = (enc - K * occ).astype(dtype)
+        ms = occ.astype(dtype)
+        # expand slot s -> lane s*cpad (features: zeros on channel lanes
+        # c>0) / all lanes of the slot (mask): pure pad/broadcast +
+        # reshape over the minor dims, one output pass each
+        data = jnp.pad(
+            small[..., None], ((0, 0),) * 5 + ((0, cpad - 1),)
         ).reshape(shape5)
-        m0 = (enc > 0).astype(dtype)           # 1.0 at lane 0 of voxels
-        data = (enc - K * (enc > 0)).astype(dtype)
+        mdata = jnp.broadcast_to(
+            ms[..., None], (*ms.shape, cpad)
+        ).reshape(shape5)
+        return (
+            FGrid(data, dims, Cin, cpad),
+            FGrid(mdata, dims, cpad, cpad),
+        )
     else:
         if Cin == 1:
             fflat = jnp.zeros((nflat,), dtype).at[base].set(
