@@ -181,7 +181,8 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
         else:
             up = FO.upconv_fused(zg, cur_fm, fm_unfilt, p["n1"],
                                  p["n1"].shape[-1],
-                                 bn_params=p["p3"], bn_stats=st_h["p3"])
+                                 bn_params=p["p3"], bn_stats=st_h["p3"],
+                                 quantize=q8)
         w2 = jnp.concatenate(
             [p["linear"]["weight"], p["linearsdf"]["weight"]], axis=1
         )

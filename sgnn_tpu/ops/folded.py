@@ -173,9 +173,9 @@ def scatter_sparse(
             K *= 2.0
         # scatter into a SLOT-resolution buffer (one f32 per voxel slot,
         # 1/cpad the bytes of the lane-padded grid): scatter cost scales
-        # with the zero-initialized target it materializes, and the
-        # expansion to full lanes is one constant MXU pass each for the
-        # features (slot s -> lane s*cpad) and the replicated mask
+        # with the zero-initialized target it materializes; the expansion
+        # to full lanes is a zero-pad + reshape (features: slot s -> lane
+        # s*cpad) and a broadcast + reshape (mask), one output pass each
         base_s = (((b * (Z + 2) + z + 1) * (Y + 2) + y + 1) * xq * F
                   + x)
         base_s = jnp.where(valid, base_s, jnp.int32(-(1 << 30)))
@@ -569,7 +569,7 @@ def subm_conv_fused(groups: list, fm: FGrid, w27: jax.Array, cout: int, *,
 def upconv_fused(groups: list, cfm: FGrid, ffm: FGrid, w27: jax.Array,
                  cout: int, *, bn_params: dict | None = None,
                  bn_stats: dict | None = None, relu: bool = True,
-                 eps: float = 1e-4) -> FGrid:
+                 eps: float = 1e-4, quantize: bool = False) -> FGrid:
     """Fused generative upsample site: [optional eval-BN + ReLU + coarse
     mask] -> 2x NN upsample -> 3^3 conv -> fine mask, ONE Pallas kernel
     reading the COARSE groups (ops/pallas/conv3d_folded.py:
@@ -603,6 +603,7 @@ def upconv_fused(groups: list, cfm: FGrid, ffm: FGrid, w27: jax.Array,
     out = fused_upconv_folded(
         [g.data for g in groups], cfm.data, ffm.data, ws, cpad,
         affines=affines if bn_params is not None else None, relu=relu,
+        quantize=quantize,
     )
     return FGrid(out, (2 * Zc, 2 * Yc, 2 * Xc), cout, cpad)
 

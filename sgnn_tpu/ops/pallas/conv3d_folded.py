@@ -756,11 +756,20 @@ def _fold_upsample_weights(weight27: jax.Array, cpad: int, dtype):
 
 
 def _kernel_upconv(*refs, G, tzf, tyf, xqf, xqc, cpad, relu, has_affine,
-                   acc_dtype):
+                   acc_dtype, quant=False):
     xrefs = refs[:G]
-    cmask_ref, fmask_ref, wm_ref, wc_ref, ab_ref, out_ref = refs[G:G + 6]
+    i = G
+    cmask_ref, fmask_ref, wm_ref, wc_ref, ab_ref = refs[i:i + 5]
+    i += 5
+    if quant:
+        ws_ref = refs[i]
+        i += 1
+    else:
+        ws_ref = None
+    out_ref = refs[i]
+    i += 1
     (tbuf, mbuf, obuf, zb_z, zb_y, zb_c,
-     in_sems, out_sems, ring_sems) = refs[G + 6:]
+     in_sems, out_sems, ring_sems) = refs[i:]
     tzc, tyc = tzf // 2, tyf // 2
 
     nz = pl.num_programs(1)
@@ -823,14 +832,24 @@ def _kernel_upconv(*refs, G, tzf, tyf, xqf, xqc, cpad, relu, has_affine,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, LANES), 3)
     # per-(pz, py) fine-parity accumulators over the coarse tile
     subs = []
-    ts, carries = [], []
+    ts, carries, scales = [], [], []
     for g in range(G):
         t = tbuf[slot, g]
         if has_affine:
             tf = t.astype(jnp.float32) * ab_ref[0, g] + ab_ref[1, g]
             if relu:
                 tf = jnp.maximum(tf, 0.0)
-            t = (tf * cm.astype(jnp.float32)).astype(t.dtype)
+            tf = tf * cm.astype(jnp.float32)
+            t = tf.astype(t.dtype)
+        elif quant:
+            tf = t.astype(jnp.float32)
+        if quant:
+            amax = jnp.max(jnp.abs(tf))
+            scale = jnp.maximum(amax, 1e-8) / 127.0
+            t = jnp.clip(
+                jnp.round(tf * (1.0 / scale)), -127.0, 127.0
+            ).astype(jnp.int8)
+            scales.append(scale)
         zrow = jnp.zeros_like(t[:, :, :1])
         nxt = jnp.concatenate([t[:, :, 1:], zrow], axis=2)
         prv = jnp.concatenate([zrow, t[:, :, :-1]], axis=2)
@@ -838,24 +857,43 @@ def _kernel_upconv(*refs, G, tzf, tyf, xqf, xqc, cpad, relu, has_affine,
         carries.append(jnp.where(lane < cpad, nxt, prv))
     for pz in range(2):
         for py in range(2):
-            acc = jnp.zeros((rows_c, 2 * LANES), acc_dtype)
+            acc = jnp.zeros((rows_c, 2 * LANES),
+                            jnp.float32 if quant else acc_dtype)
             for g in range(G):
+                if quant:
+                    gacc = jnp.zeros((rows_c, 2 * LANES), jnp.int32)
+                else:
+                    gacc = None
                 for ez in range(2):
                     for ey in range(2):
                         lhs_m = ts[g][
                             pz + ez:pz + ez + tzc, py + ey:py + ey + tyc
                         ].reshape(rows_c, LANES)
-                        acc = acc + jnp.dot(
-                            lhs_m, wm_ref[g, pz, py, ez, ey],
-                            preferred_element_type=acc_dtype,
-                        )
                         lhs_c = carries[g][
                             pz + ez:pz + ez + tzc, py + ey:py + ey + tyc
                         ].reshape(rows_c, LANES)
-                        acc = acc + jnp.dot(
-                            lhs_c, wc_ref[g, pz, py, ez, ey],
-                            preferred_element_type=acc_dtype,
-                        )
+                        if quant:
+                            gacc = gacc + jnp.dot(
+                                lhs_m, wm_ref[g, pz, py, ez, ey],
+                                preferred_element_type=jnp.int32,
+                            )
+                            gacc = gacc + jnp.dot(
+                                lhs_c, wc_ref[g, pz, py, ez, ey],
+                                preferred_element_type=jnp.int32,
+                            )
+                        else:
+                            acc = acc + jnp.dot(
+                                lhs_m, wm_ref[g, pz, py, ez, ey],
+                                preferred_element_type=acc_dtype,
+                            )
+                            acc = acc + jnp.dot(
+                                lhs_c, wc_ref[g, pz, py, ez, ey],
+                                preferred_element_type=acc_dtype,
+                            )
+                if quant:
+                    acc = acc + gacc.astype(jnp.float32) * (
+                        scales[g] * ws_ref[g]
+                    )
             # [rows_c, 256] -> fine blocks [tzc, tyc, 2 xqc, 128] -> crop
             sub = acc.reshape(tzc, tyc, xqc * 2, LANES)[:, :, :xqf]
             subs.append(sub)
@@ -951,9 +989,11 @@ def fused_upconv_folded(
     *,
     affines: list | None = None,
     relu: bool = True,
+    quantize: bool = False,
 ) -> jax.Array:
     """fmask * conv3(nn_up2(sum_g in_g')) as a halo'd FINE folded grid;
     in_g' = relu(in_g * a + b) * cmask when affines given (fused BN-eval).
+    quantize: int8 GEMMs (same scheme as fused_conv_folded).
     """
     G = len(xs)
     x0 = xs[0]
@@ -974,6 +1014,21 @@ def fused_upconv_folded(
         wcs.append(wc)
     wm = jnp.stack(wms)  # [G, 2, 2, 2, 2, 128, 256]
     wc = jnp.stack(wcs)
+    if quantize:
+        amax = jnp.maximum(
+            jnp.max(jnp.abs(wm.astype(jnp.float32)), axis=(1, 2, 3, 4, 5)),
+            jnp.max(jnp.abs(wc.astype(jnp.float32)), axis=(1, 2, 3, 4, 5)),
+        )  # [G, 256]
+        ws = jnp.maximum(amax, 1e-8) / 127.0
+        inv = (1.0 / ws)[:, None, None, None, None, None, :]
+        wm = jnp.clip(
+            jnp.round(wm.astype(jnp.float32) * inv), -127.0, 127.0
+        ).astype(jnp.int8)
+        wc = jnp.clip(
+            jnp.round(wc.astype(jnp.float32) * inv), -127.0, 127.0
+        ).astype(jnp.int8)
+    else:
+        ws = None
     has_affine = affines is not None
     if has_affine:
         ab = jnp.stack([
@@ -990,15 +1045,21 @@ def fused_upconv_folded(
     kernel = functools.partial(
         _kernel_upconv, G=G, tzf=tzf, tyf=tyf, xqf=xqf, xqc=xqc, cpad=cpad,
         relu=relu, has_affine=has_affine, acc_dtype=jnp.float32,
+        quant=quantize,
     )
+    w_operands = [wm, wc, ab]
+    w_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # wm
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # wc
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # ab
+    ]
+    if quantize:
+        w_operands.append(ws)
+        w_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # ws
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (G + 2) + [
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wm
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wc
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ab
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (G + 2) + w_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((B, Zf + 2, Yf + 2, xqf, LANES), dt),
         scratch_shapes=[
@@ -1012,7 +1073,7 @@ def fused_upconv_folded(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((8,)),
         ],
-    )(*xs, cmask, fmask, wm, wc, ab)
+    )(*xs, cmask, fmask, *w_operands)
 
 
 # --------------------------------------------- fused strided downsample (v3)
