@@ -58,33 +58,38 @@ def _bn_groups(params, stats, groups, fm):
     return outs
 
 
-def _resblock(params, stats, fg, fm, q=False):
+def _resblock(params, stats, fg, fm, q=False, ex=lambda g: g):
     # both BN -> conv pairs run as single fused kernel sites (v3); the
     # identity branch is added INSIDE the second kernel (no full-grid
-    # XLA add pass)
+    # XLA add pass). ``ex``: z halo exchange under spatial sharding
+    # (conv inputs only; the residual is interior-only).
     y = FO.subm_conv_fused(
-        [fg], fm, params["conv0"], params["conv0"].shape[-1],
+        [ex(fg)], fm, params["conv0"], params["conv0"].shape[-1],
         bn_params=params["bn0"], bn_stats=stats["bn0"], quantize=q,
     )
     return FO.subm_conv_fused(
-        [y], fm, params["conv1"], params["conv1"].shape[-1],
+        [ex(y)], fm, params["conv1"], params["conv1"].shape[-1],
         bn_params=params["bn1"], bn_stats=stats["bn1"], residual=fg,
         quantize=q,
     )
 
 
-def _unet(params, stats, fg, fm, q=False):
+def _unet(params, stats, fg, fm, q=False, ex=lambda g: g,
+          exm=lambda g: g):
     """FullyConvolutionalNet (reps=1, residual); returns GROUPS (the
     virtual concat of pyramid levels) + the same fm."""
-    x = _resblock(params["block"], stats["block"], fg, fm, q=q)
+    x = _resblock(params["block"], stats["block"], fg, fm, q=q, ex=ex)
     if "deeper" not in params:
         return [x]
     # down path: BN + stride-2 conv + mask-down as ONE fused kernel
+    # (consumes interior rows only — no exchange needed)
     down, down_fm = FO.downconv_fused(
         x, fm, params["down_conv"], params["down_conv"].shape[-1],
         bn_params=params["down_bn"], bn_stats=stats["down_bn"],
     )
-    deep = _unet(params["deeper"], stats["deeper"], down, down_fm, q=q)
+    down_fm = exm(down_fm)
+    deep = _unet(params["deeper"], stats["deeper"], down, down_fm, q=q,
+                 ex=ex, exm=exm)
     # NO mask multiply on the upsampled groups: every consumer (upconv /
     # head / downstream conv sites) applies the level mask in-kernel with
     # its input affine, and garbage can only sit at fine sites whose
@@ -93,10 +98,11 @@ def _unet(params, stats, fg, fm, q=False):
     return [x, *[FO.upsample2_folded(d) for d in deep]]
 
 
-def _encoder_layer(params, stats, groups, fm, cpad_out=None, q=False):
-    x = FO.subm_conv_fused(groups, fm, params["p1"],
+def _encoder_layer(params, stats, groups, fm, cpad_out=None, q=False,
+                   ex=lambda g: g, exm=lambda g: g):
+    x = FO.subm_conv_fused([ex(g) for g in groups], fm, params["p1"],
                            params["p1"].shape[-1], quantize=q)
-    x = _resblock(params["p2"], stats["p2"], x, fm, q=q)
+    x = _resblock(params["p2"], stats["p2"], x, fm, q=q, ex=ex)
     y = _bn_groups(params["p2_bn"], stats["p2_bn"], [x], fm)[0]
     # y is also the skip output, so its BN stays materialized; the
     # strided conv + mask-down fuse into one kernel (widening the lane
@@ -104,17 +110,39 @@ def _encoder_layer(params, stats, groups, fm, cpad_out=None, q=False):
     down, down_fm = FO.downconv_fused(y, fm, params["p3"],
                                       params["p3"].shape[-1],
                                       cpad_out=cpad_out)
+    down_fm = exm(down_fm)
     z = _bn_groups(params["p3_bn"], stats["p3_bn"], [down], down_fm)[0]
     return z, down_fm, (y, fm)
 
 
 def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
-                          *, num_refine_active: int, do_surf: bool):
+                          *, num_refine_active: int, do_surf: bool,
+                          sp_axis=None):
     """Inference forward in the folded layout. Output contract matches
-    genmodel_apply_dense (a DenseFlowOutput of unfolded arrays)."""
+    genmodel_apply_dense (a DenseFlowOutput of unfolded arrays).
+
+    ``sp_axis``: name of a SPATIAL mesh axis to shard the scene's z
+    extent over (scenes beyond one chip's HBM at folded speed). Must be
+    called inside shard_map with ``st`` replicated across the axis and
+    cfg.input_dim the GLOBAL dims; the folded layout shards naturally
+    over z (its leading spatial dim carries the one-voxel halo ring),
+    so each 3^3 conv/upconv site refills its ring from the neighbors'
+    boundary planes (ops/folded.py:halo_exchange_z over ICI) and every
+    other op is slab-local. Requires Z % (32 * axis_size) == 0. Outputs
+    are local z-slabs."""
     dt = jnp.dtype(cfg.compute_dtype)
     Z, Y, X = st.spatial_size
     B = st.batch_size
+
+    if sp_axis is not None:
+        n_sp = jax.lax.axis_size(sp_axis)
+        assert Z % (32 * n_sp) == 0, (
+            f"spatial folded: Z={Z} must divide by 32*{n_sp}"
+        )
+        ex = lambda g: FO.halo_exchange_z(g, sp_axis)  # noqa: E731
+    else:
+        ex = lambda g: g  # noqa: E731
+    exm = ex  # masks use the same exchange (conv tiles read halo mask)
 
     # level 0 (full resolution, the most expensive level) runs at cpad 8
     # when its live widths allow: 16 voxels per vector register — half the
@@ -122,10 +150,17 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
     cpad0 = 8 if (cfg.input_nf <= 8 and cfg.nf_per_level[0] <= 8
                   and X % 16 == 0) else CPAD
     q8 = bool(getattr(cfg, "quantize_int8", False))
-    fg, fm = FO.scatter_sparse(
-        st.locs, st.feats, st.num_valid, st.spatial_size, B,
-        cpad=cpad0, dtype=dt, feat_bound=cfg.truncation,
-    )
+    if sp_axis is not None:
+        fg, fm = FO.scatter_sparse_sharded(
+            st.locs, st.feats, st.num_valid, st.spatial_size, B, sp_axis,
+            cpad=cpad0, dtype=dt, feat_bound=cfg.truncation,
+        )
+    else:
+        fg, fm = FO.scatter_sparse(
+            st.locs, st.feats, st.num_valid, st.spatial_size, B,
+            cpad=cpad0, dtype=dt, feat_bound=cfg.truncation,
+        )
+    fm = exm(fm)
 
     # ---- encoder sparse levels (folded)
     skips = []
@@ -135,7 +170,7 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
             params["encoder"]["process_sparse"][lvl],
             stats["encoder"]["process_sparse"][lvl], [x], m,
             cpad_out=CPAD if lvl == 0 and cpad0 != CPAD else None,
-            q=q8,
+            q=q8, ex=ex, exm=exm,
         )
         if lvl == 0 and cpad0 != CPAD:
             # the full-res skip is consumed at cpad 16 (surface p1 site)
@@ -148,11 +183,11 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
     x8 = FO.unfold(x)
     y, coarse_out, _ = dense_trunk(
         params["encoder"], stats["encoder"], cfg, x8,
-        training=False, axis_name=None,
+        training=False, axis_name=None, sp_axis=sp_axis,
     )
 
     cur_mask_dense = jax.nn.sigmoid(coarse_out[..., 0]) > 0.5
-    cur_fm = FO.fold_mask(cur_mask_dense, CPAD, dt)
+    cur_fm = exm(FO.fold_mask(cur_mask_dense, CPAD, dt))
     cur = []
     if cfg.pass_occ:
         o = FO.fold(coarse_out.astype(dt), CPAD)
@@ -167,20 +202,20 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
     ref_masks = []
 
     def refine_level(p, st_h, cur, cur_fm):
-        z = FO.subm_conv_fused(cur, cur_fm, p["p1"], p["p1"].shape[-1],
-                               quantize=q8)
-        zg = _unet(p["p2"], st_h["p2"], z, cur_fm, q=q8)
+        z = FO.subm_conv_fused([ex(g) for g in cur], cur_fm, p["p1"],
+                               p["p1"].shape[-1], quantize=q8)
+        zg = _unet(p["p2"], st_h["p2"], z, cur_fm, q=q8, ex=ex, exm=exm)
         # generative 2x upsample + n1 conv as ONE kernel reading the
         # coarse groups, with the p3 BN folded into its input affine
-        fm_unfilt = FO.upsample2_folded(cur_fm)
+        fm_unfilt = exm(FO.upsample2_folded(cur_fm))
         if os.environ.get("SGNN_NO_UPCONV"):
             zb = _bn_groups(p["p3"], st_h["p3"], zg, cur_fm)
-            ups = [FO.upsample2_folded(g) for g in zb]
+            ups = [ex(FO.upsample2_folded(g)) for g in zb]
             up = FO.subm_conv_fused(ups, fm_unfilt, p["n1"],
                                     p["n1"].shape[-1])
         else:
-            up = FO.upconv_fused(zg, cur_fm, fm_unfilt, p["n1"],
-                                 p["n1"].shape[-1],
+            up = FO.upconv_fused([ex(g) for g in zg], cur_fm, fm_unfilt,
+                                 p["n1"], p["n1"].shape[-1],
                                  bn_params=p["p3"], bn_stats=st_h["p3"],
                                  quantize=q8)
         w2 = jnp.concatenate(
@@ -199,6 +234,7 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
             upm, o2m, new_fm, out2 = FO.head_site_fused(
                 up, fm_unfilt, p["n2"], st_h["n2"], w2, b2, dtype=dt,
             )
+        new_fm = exm(new_fm)
         nxt = []
         if cfg.pass_feats:
             nxt.append(upm)
@@ -223,9 +259,9 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
         if cfg.use_skip_sparse:
             sk, _sk_fm = skips[0]
             cur = [*cur, sk.with_data(sk.data * cur_fm.data)]
-        z = FO.subm_conv_fused(cur, cur_fm, p["p1"], p["p1"].shape[-1],
-                               quantize=q8)
-        zg = _unet(p["p2"], st_s["p2"], z, cur_fm, q=q8)
+        z = FO.subm_conv_fused([ex(g) for g in cur], cur_fm, p["p1"],
+                               p["p1"].shape[-1], quantize=q8)
+        zg = _unet(p["p2"], st_s["p2"], z, cur_fm, q=q8, ex=ex, exm=exm)
         if os.environ.get("SGNN_NO_HEADK"):
             zg = _bn_groups(p["p3"], st_s["p3"], zg, cur_fm)
             surf_fg = None

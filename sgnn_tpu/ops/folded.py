@@ -993,3 +993,57 @@ def subm_conv_folded_train(groups: list, fm: FGrid, w27: jax.Array,
     fg0 = groups[0]
     out = _rehalo(acc.astype(fg0.data.dtype), fg0.data.shape[3]) * fm.data
     return FGrid(out, fg0.dims, cout, fg0.cpad)
+
+
+def halo_exchange_z(fg: FGrid, axis_name: str) -> FGrid:
+    """Fill the z halo ring of a z-SHARDED folded grid from the
+    neighboring devices' boundary interior planes (jax.lax.ppermute over
+    ICI; edge devices keep the zero ring). The spatial-sharding
+    counterpart of parallel/spatial.py:halo_exchange for the folded
+    layout — y/x rings stay zero (unsharded axes). Call at each 3^3
+    conv/upconv consumption site; producers always re-zero rings."""
+    n = jax.lax.axis_size(axis_name)
+    if n == 1:
+        return fg
+    d = fg.data
+    # ppermute leaves zeros where no source maps — exactly the edge rule
+    from_prev = jax.lax.ppermute(
+        d[:, -2], axis_name, [(i, i + 1) for i in range(n - 1)]
+    )
+    from_next = jax.lax.ppermute(
+        d[:, 1], axis_name, [(i + 1, i) for i in range(n - 1)]
+    )
+    d = d.at[:, 0].set(from_prev).at[:, -1].set(from_next)
+    return fg.with_data(d)
+
+
+def scatter_sparse_sharded(
+    locs: jax.Array,
+    feats: jax.Array,
+    num_valid: jax.Array,
+    dims: tuple,          # GLOBAL (Z, Y, X)
+    batch_size: int,
+    axis_name: str,
+    cpad: int = 16,
+    dtype=jnp.bfloat16,
+    feat_bound: float | None = None,
+) -> tuple[FGrid, FGrid]:
+    """scatter_sparse for a z-sharded slab: rows land on the device
+    owning their z; the returned FGrids are LOCAL [B, Z/n+2, ...] with
+    logical dims the local slab."""
+    Z, Y, X = dims
+    n = jax.lax.axis_size(axis_name)
+    assert Z % n == 0
+    zl = Z // n
+    idx = jax.lax.axis_index(axis_name)
+    z = locs[:, 0] - idx * zl
+    ok = (z >= 0) & (z < zl) & (locs[:, 0] >= 0)
+    lloc = jnp.where(
+        ok[:, None],
+        jnp.stack([z, locs[:, 1], locs[:, 2], locs[:, 3]], -1),
+        jnp.int32(-1),
+    )
+    return scatter_sparse(
+        lloc, feats, num_valid, (zl, Y, X), batch_size,
+        cpad=cpad, dtype=dtype, feat_bound=feat_bound,
+    )

@@ -1,6 +1,7 @@
 """Spatial (z-axis) sharding: halo-exchanged convs == unsharded convs."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax import shard_map
@@ -184,3 +185,73 @@ def test_full_model_spatial_sharded_forward(rng):
                     np.asarray(g), np.asarray(r), rtol=1e-3, atol=1e-5,
                     err_msg=str(pr),
                 )
+
+
+@pytest.mark.slow
+def test_full_model_spatial_folded_forward(rng):
+    """Whole FOLDED forward over a z-sharded 4-device mesh equals the
+    unsharded folded forward (big scenes at folded speed: per-site z
+    halo exchanges via ops/folded.py:halo_exchange_z)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    import sgnn_tpu.ops.pallas.conv3d_folded as PC
+    from sgnn_tpu.config import SGNNConfig
+    from sgnn_tpu.models import folded_flow as FFM
+    from sgnn_tpu.models import sgnn as M
+    from sgnn_tpu.ops.sparse import make_sparse
+
+    orig = PC.pl.pallas_call
+    PC.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        n_dev = 4
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("space",))
+        cfg = SGNNConfig(
+            encoder_dim=4, input_dim=(128, 32, 32), nf_coarse=8, nf=8,
+            num_hierarchy_levels=4, batch_size=1,
+            occupancy_fractions=(1.0, 1.0, 1.0, 1.0),
+            compute_dtype="float32",
+        )
+        params, stats = M.genmodel_init(jax.random.PRNGKey(0), cfg)
+
+        Z, Y, X = cfg.input_dim
+        n = 600
+        flat = rng.choice(Z * Y * X, size=n, replace=False)
+        z, rem = flat // (Y * X), flat % (Y * X)
+        y, x = rem // X, rem % X
+        locs = np.zeros((1024, 4), np.int32) - 1
+        locs[:n] = np.stack([z, y, x, np.zeros_like(z)], -1)
+        feats = np.zeros((1024, 1), np.float32)
+        feats[:n, 0] = rng.randn(n).astype(np.float32)
+
+        def fwd(sp_axis=None):
+            def f(locs, feats):
+                st = make_sparse(locs, feats, n, cfg.input_dim, 1)
+                out = FFM.genmodel_apply_folded(
+                    params, stats, cfg, st,
+                    num_refine_active=cfg.num_refine_levels,
+                    do_surf=True, sp_axis=sp_axis,
+                )
+                return (
+                    out.coarse_out, *out.refine_outs,
+                    *[m.astype(np.int8) for m in out.refine_masks_unfilt],
+                    out.surf_sdf, out.surf_mask.astype(np.int8),
+                )
+            return f
+
+        ref_out = jax.jit(fwd())(locs, feats)
+        n_out = len(ref_out)
+        sharded = shard_map(
+            fwd(sp_axis="space"), mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=(P(None, "space"),) * n_out,
+            check_vma=False,
+        )
+        got_out = jax.jit(sharded)(locs, feats)
+        for r, g in zip(ref_out, got_out):
+            assert r.shape == g.shape
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-4,
+            )
+    finally:
+        PC.pl.pallas_call = orig
