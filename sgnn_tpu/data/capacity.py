@@ -36,6 +36,63 @@ def chunk_level_occupancy(chunk, num_hierarchy_levels: int,
     return fr, n_in / float(tgt.size)
 
 
+def estimate_row_capacities(
+    files,
+    num_hierarchy_levels: int,
+    truncation: float,
+    batch_size: int,
+    sample: int = 32,
+    quantile: float = 0.95,
+    margin: float = 1.3,
+    round_to: int = 1024,
+    seed: int = 0,
+) -> tuple[int, list]:
+    """Static row capacities for the sparse-target transfer path
+    (SceneDataset(sparse_targets=True) / collate_sparse).
+
+    Scans up to ``sample`` chunks, counts target and per-level hierarchy
+    rows AFTER the lossless val > -truncation thinning (see
+    SceneDataset._get_chunk_sparse), and sizes whole-batch capacities as
+    batch_size * quantile-count * margin, rounded up. Overflow beyond the
+    capacity drops rows (counted and warned per step); the quantile +
+    margin make that rare, and overflow only perturbs — never crashes —
+    the loss.
+
+    Returns (target_capacity, hier_capacities[num_hierarchy_levels - 1]).
+    """
+    from sgnn_tpu.data import formats as F
+
+    rng = np.random.RandomState(seed)
+    files = list(files)
+    if len(files) > sample:
+        files = [files[i] for i in rng.choice(len(files), sample, False)]
+    t_counts, h_counts = [], []
+    for f in files:
+        try:
+            c = F.load_train_file_sparse(f)
+        except Exception:
+            continue
+        hier = c.hierarchy
+        if num_hierarchy_levels < 4:
+            hier = hier[4 - num_hierarchy_levels:]
+        t_counts.append(int((c.target_vals > -truncation).sum()))
+        h_counts.append(
+            [int((vals > -truncation).sum()) for _, vals in hier]
+        )
+    if not t_counts:
+        raise ValueError("no readable chunks to size row capacities from")
+
+    def cap(counts):
+        q = float(np.quantile(np.asarray(counts, np.float64), quantile))
+        c = int(np.ceil(q * margin * batch_size))
+        return max(round_to, ((c + round_to - 1) // round_to) * round_to)
+
+    target_capacity = cap(t_counts)
+    hh = np.asarray(h_counts)  # [n, L-1]
+    hier_capacities = [cap(hh[:, h]) for h in range(hh.shape[1])]
+    return target_capacity, hier_capacities
+
+
 def estimate_occupancy_fractions(
     files,
     num_hierarchy_levels: int,

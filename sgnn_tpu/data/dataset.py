@@ -24,6 +24,7 @@ import numpy as np
 from sgnn_tpu.data import formats as F
 
 UP_AXIS = 0  # z (train.py:73)
+UNK_THRESH = 2  # known >= 2 is unobserved (loss.py:10)
 
 
 def shard_files(files, host_id: int, num_hosts: int):
@@ -47,6 +48,7 @@ class SceneDataset:
         num_overfit: int = 0,
         target_path: str = "",
         dim_round: int = 0,
+        sparse_targets: bool = False,
     ):
         assert num_hierarchy_levels <= 4, "precomputed hierarchy has 3 levels"
         self.is_chunks = target_path == ""
@@ -66,6 +68,9 @@ class SceneDataset:
         # reference's choice). Larger values bucket scene shapes to reduce
         # XLA recompiles.
         self.dim_round = dim_round or (2 ** (num_hierarchy_levels - 1) * 4)
+        # chunk mode only: keep target/hierarchy in native sparse row form
+        # (densified ON DEVICE, train/step.py) — cuts H2D bytes ~10x
+        self.sparse_targets = sparse_targets and self.is_chunks
         if num_overfit > 0 and self.files:
             num_repeat = max(1, num_overfit // len(self.files))
             self.files = self.files * num_repeat
@@ -78,7 +83,46 @@ class SceneDataset:
             return self._get_chunk(self.files[idx])
         return self._get_scene(*self.files[idx])
 
+    def _get_chunk_sparse(self, path):
+        """Chunk sample with target + hierarchy as sparse rows.
+
+        Lossless target thinning: rows with val <= -truncation are dropped
+        here because after on-device densify (default -inf) + clamping
+        (losses.preprocess_sdf) they are indistinguishable from missing
+        voxels — clamp(-inf) == clamp(val <= -trunc) == -truncation, and
+        both yield occupancy 0 (|val| >= truncation). This removes the
+        whole behind-surface band the datagen stores at truncFactor 6
+        (/root/reference/datagen/.../Fuser.cpp:34), roughly halving the
+        rows shipped.
+        """
+        name = os.path.splitext(os.path.basename(path))[0]
+        c = F.load_train_file_sparse(path)
+        hierarchy = c.hierarchy
+        if self.num_hierarchy_levels < 4:
+            hierarchy = hierarchy[4 - self.num_hierarchy_levels:]
+        tkeep = c.target_vals > -self.truncation
+        hier_rows = []
+        for locs, vals in hierarchy:
+            hkeep = vals > -self.truncation
+            hier_rows.append((locs[hkeep], vals[hkeep]))
+        mask = np.abs(c.input_sdf) < self.truncation
+        return {
+            "name": name,
+            "input_locs": c.input_locs[mask],
+            "input_sdf": c.input_sdf[mask],
+            "target_locs": c.target_locs[tkeep],
+            "target_vals": c.target_vals[tkeep],
+            "hier_rows": hier_rows,
+            "known_unk": np.packbits(
+                (c.known >= UNK_THRESH).reshape(-1), bitorder="little"
+            ),
+            "world2grid": c.world2grid,
+            "orig_dims": np.array(c.dims, np.int64),
+        }
+
     def _get_chunk(self, path):
+        if self.sparse_targets:
+            return self._get_chunk_sparse(path)
         name = os.path.splitext(os.path.basename(path))[0]
         c = F.load_train_file(path)
         hierarchy = c.hierarchy
@@ -135,6 +179,80 @@ class SceneDataset:
             "world2grid": inp.world2grid,
             "orig_dims": orig_dims,
         }
+
+
+def _pool_rows(locs_per_sample, vals_per_sample, capacity: int):
+    """Concatenate per-sample sparse rows with an appended batch column,
+    truncate/pad to a fixed capacity. Returns (locs [cap,4] int32,
+    vals [cap] f32, num_valid, overflow)."""
+    locs_list, vals_list = [], []
+    for b, (locs, vals) in enumerate(zip(locs_per_sample, vals_per_sample)):
+        n = len(locs)
+        locs_list.append(
+            np.concatenate([locs, np.full((n, 1), b, np.int32)], axis=1)
+        )
+        vals_list.append(vals)
+    locs = np.concatenate(locs_list, 0).astype(np.int32)
+    vals = np.concatenate(vals_list, 0).astype(np.float32)
+    n = len(locs)
+    overflow = max(0, n - capacity)
+    if overflow:
+        locs, vals = locs[:capacity], vals[:capacity]
+        n = capacity
+    pad = capacity - n
+    locs = np.concatenate([locs, np.full((pad, 4), -1, np.int32)], 0)
+    vals = np.concatenate([vals, np.zeros((pad,), np.float32)], 0)
+    return locs, vals, np.int32(n), overflow
+
+
+def collate_sparse(samples, input_capacity: int, target_capacity: int,
+                   hier_capacities):
+    """Batch sparse-target chunk samples (SceneDataset(sparse_targets=True))
+    into fixed-capacity row arrays + bit-packed unknown masks. The device
+    step densifies (train/step.py:_unpack_batch) — the H2D transfer carries
+    only the native sparse rows of the .sdfs file instead of ~4 MB of
+    dense grids per chunk."""
+    in_locs, in_vals, in_n, in_ovf = _pool_rows(
+        [s["input_locs"] for s in samples],
+        [s["input_sdf"] for s in samples],
+        input_capacity,
+    )
+    t_locs, t_vals, t_n, t_ovf = _pool_rows(
+        [s["target_locs"] for s in samples],
+        [s["target_vals"] for s in samples],
+        target_capacity,
+    )
+    nh = len(samples[0]["hier_rows"])
+    assert len(hier_capacities) >= nh
+    hier_locs, hier_vals, hier_num = [], [], []
+    h_ovf = 0
+    for h in range(nh):
+        hl, hv, hn, ho = _pool_rows(
+            [s["hier_rows"][h][0] for s in samples],
+            [s["hier_rows"][h][1] for s in samples],
+            hier_capacities[h],
+        )
+        hier_locs.append(hl)
+        hier_vals.append(hv)
+        hier_num.append(hn)
+        h_ovf = max(h_ovf, ho)
+    return {
+        "input_locs": in_locs,
+        "input_sdf": in_vals[:, None],
+        "input_num_valid": in_n,
+        "target_locs": t_locs,
+        "target_vals": t_vals,
+        "target_num_valid": t_n,
+        "hier_locs": hier_locs,
+        "hier_vals": hier_vals,
+        "hier_num": hier_num,
+        "known_unk": np.stack([s["known_unk"] for s in samples]),
+        "world2grid": np.stack([s["world2grid"] for s in samples]),
+        "orig_dims": np.stack([s["orig_dims"] for s in samples]),
+        "names": [s["name"] for s in samples],
+        "input_overflow": in_ovf,
+        "target_overflow": max(t_ovf, h_ovf),
+    }
 
 
 def collate(samples, input_capacity: int):
@@ -211,10 +329,19 @@ class BatchLoader:
         num_workers: int = 4,
         prefetch: int = 4,
         transform=None,
+        target_capacity: int = 0,
+        hier_capacities=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.input_capacity = input_capacity
+        self.target_capacity = target_capacity
+        self.hier_capacities = hier_capacities
+        if getattr(dataset, "sparse_targets", False):
+            assert target_capacity > 0 and hier_capacities, (
+                "sparse_targets dataset needs target/hier capacities "
+                "(see data/capacity.py:estimate_row_capacities)"
+            )
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.RandomState(seed)
@@ -261,7 +388,13 @@ class BatchLoader:
                     next_claim[0] = i + 1
                 try:
                     samples = [self.dataset[j] for j in batches[i]]
-                    item = collate(samples, self.input_capacity)
+                    if getattr(self.dataset, "sparse_targets", False):
+                        item = collate_sparse(
+                            samples, self.input_capacity,
+                            self.target_capacity, self.hier_capacities,
+                        )
+                    else:
+                        item = collate(samples, self.input_capacity)
                     if self.transform is not None:
                         item = self.transform(item)
                 except Exception as e:  # surface to the consumer

@@ -57,6 +57,24 @@ class TrainChunk:
     hierarchy: list  # L-1 dense [z, y, x] float32, COARSE -> FINE
 
 
+@dataclasses.dataclass
+class TrainChunkSparse:
+    """A .sdfs chunk with target/hierarchy kept in their NATIVE sparse row
+    form (the file stores them sparse — /root/reference/torch/
+    data_util.py:63-108 densifies at load; shipping the rows to the device
+    and densifying there cuts H2D traffic ~10x, train/step.py)."""
+    input_locs: np.ndarray  # [N, 3] int32, zyx
+    input_sdf: np.ndarray  # [N] float32, voxel units
+    target_locs: np.ndarray  # [M, 3] int32, zyx
+    target_vals: np.ndarray  # [M] float32, voxel units
+    dims: tuple[int, int, int]
+    voxelsize: float
+    world2grid: np.ndarray
+    known: np.ndarray  # [Z, Y, X] uint8
+    hierarchy: list  # L-1 of (locs [K,3] int32, vals [K] f32), COARSE->FINE
+    hier_dims: list  # L-1 of (z, y, x), COARSE -> FINE
+
+
 class _Reader:
     def __init__(self, buf: bytes):
         self.buf = buf
@@ -107,26 +125,49 @@ def load_scene_known(path) -> np.ndarray:
     return r.take("u1", dims[0] * dims[1] * dims[2]).reshape(dims).copy()
 
 
-def load_train_file(path) -> TrainChunk:
-    """.sdfs train chunk (/root/reference/torch/data_util.py:63-108)."""
+def load_train_file_sparse(path) -> TrainChunkSparse:
+    """.sdfs train chunk, target + hierarchy kept sparse (no densify).
+
+    Same byte walk as load_train_file
+    (/root/reference/torch/data_util.py:63-108) minus the
+    sparse_to_dense calls.
+    """
     with open(path, "rb") as f:
         r = _Reader(f.read())
     dims, vs, w2g = r.header()
     in_locs, in_sdf = r.sparse_block(vs)
     t_locs, t_sdf = r.sparse_block(vs)
-    target = sparse_to_dense(t_locs, t_sdf, dims, -np.inf)
     num = int(r.take("<u8")[0])
     assert num == dims[0] * dims[1] * dims[2], f"bad known block in {path}"
     known = r.take("u1", num).reshape(dims).copy()
     hierarchy = []
+    hier_dims = []
     factor = 2
     for _ in range(3):
         h_locs, h_vals = r.sparse_block(vs)
-        hdims = tuple(d // factor for d in dims)
-        hierarchy.append(sparse_to_dense(h_locs, h_vals, hdims, -np.inf))
+        hierarchy.append((h_locs, h_vals))
+        hier_dims.append(tuple(d // factor for d in dims))
         factor *= 2
     hierarchy.reverse()  # file is fine->coarse; return coarse->fine
-    return TrainChunk(in_locs, in_sdf, target, dims, vs, w2g, known, hierarchy)
+    hier_dims.reverse()
+    return TrainChunkSparse(
+        in_locs, in_sdf, t_locs, t_sdf, dims, vs, w2g, known,
+        hierarchy, hier_dims,
+    )
+
+
+def load_train_file(path) -> TrainChunk:
+    """.sdfs train chunk (/root/reference/torch/data_util.py:63-108)."""
+    c = load_train_file_sparse(path)
+    target = sparse_to_dense(c.target_locs, c.target_vals, c.dims, -np.inf)
+    hierarchy = [
+        sparse_to_dense(locs, vals, hd, -np.inf)
+        for (locs, vals), hd in zip(c.hierarchy, c.hier_dims)
+    ]
+    return TrainChunk(
+        c.input_locs, c.input_sdf, target, c.dims, c.voxelsize,
+        c.world2grid, c.known, hierarchy,
+    )
 
 
 # ------------------------------------------------------------------ writers

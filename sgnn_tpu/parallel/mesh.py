@@ -63,6 +63,30 @@ def prefetch_to_device(batches, mesh: Mesh, size: int = 2):
         yield buf.popleft()
 
 
+def _split_rows(locs, vals, n, num_devices: int, per: int, cap_d: int,
+                locs_dtype=np.int32):
+    """Re-collate pooled sparse rows (batch column = locs[:, 3]) into
+    per-device arrays with device-local batch indices and equal capacity.
+
+    ``locs_dtype`` int16 halves coordinate H2D bytes (any chunk/scene dim
+    and per-device batch index fits in int16; the device step casts back
+    to int32 — train/step.py:_unpack_batch).
+    """
+    out_locs = np.full((num_devices, cap_d, 4), -1, locs_dtype)
+    val_shape = (num_devices, cap_d) + vals.shape[1:]
+    out_vals = np.zeros(val_shape, np.float32)
+    out_num = np.zeros((num_devices,), np.int32)
+    for d in range(num_devices):
+        m = (locs[:n, 3] >= d * per) & (locs[:n, 3] < (d + 1) * per)
+        sel_locs = locs[:n][m].astype(locs_dtype)
+        sel_locs[:, 3] -= d * per
+        k = min(len(sel_locs), cap_d)
+        out_locs[d, :k] = sel_locs[:k]
+        out_vals[d, :k] = vals[:n][m][:k]
+        out_num[d] = k
+    return out_locs, out_vals, out_num
+
+
 def device_batch(batch: dict, num_devices: int,
                  transfer_dtype=np.float32) -> dict:
     """Regroup a collated global batch into per-device sub-batches.
@@ -72,33 +96,33 @@ def device_batch(batch: dict, num_devices: int,
     num_devices; sparse rows are re-collated per device with equal
     capacity (global_cap // D each).
 
-    ``transfer_dtype``: dtype the float arrays (input sdf, target sdf,
-    hierarchy) are SHIPPED in; the step casts back to f32 on device
-    (train/step.py:_unpack_batch). bfloat16 halves the H2D bytes — the
-    dominant train-step cost on hosts with a slow device link — at a max
-    SDF quantization error of ~0.008 voxel on the +-3-voxel range
-    (values are consumed clamped to the truncation band).
+    Two schemas (data/dataset.py):
+      * dense (collate): dense "sdf"/"known"/"hierarchy" grids.
+      * sparse-target (collate_sparse): "target_locs/vals", per-level
+        "hier_locs/vals", bit-packed "known_unk" — the device step
+        densifies (train/step.py). Sparse rows additionally ship their
+        coordinates as int16 (half the bytes).
+
+    ``transfer_dtype``: dtype the float arrays are SHIPPED in; the step
+    casts back to f32 on device (train/step.py:_unpack_batch). bfloat16
+    halves the H2D bytes — the dominant train-step cost on hosts with a
+    slow device link — at a max SDF quantization error of ~0.008 voxel on
+    the +-3-voxel range (values are consumed clamped to the truncation
+    band).
     """
-    B = batch["sdf"].shape[0]
+    sparse_tgt = "target_locs" in batch
+    B = (batch["known_unk"] if sparse_tgt else batch["sdf"]).shape[0]
     assert B % num_devices == 0, f"batch {B} not divisible by {num_devices}"
     per = B // num_devices
     cap = batch["input_locs"].shape[0]
     cap_d = cap // num_devices
 
-    locs = batch["input_locs"]
-    feats = batch["input_sdf"]
-    n = int(batch["input_num_valid"])
-    out_locs = np.full((num_devices, cap_d, 4), -1, np.int32)
-    out_feats = np.zeros((num_devices, cap_d, feats.shape[-1]), np.float32)
-    out_num = np.zeros((num_devices,), np.int32)
-    for d in range(num_devices):
-        m = (locs[:n, 3] >= d * per) & (locs[:n, 3] < (d + 1) * per)
-        sel_locs = locs[:n][m].copy()
-        sel_locs[:, 3] -= d * per
-        k = min(len(sel_locs), cap_d)
-        out_locs[d, :k] = sel_locs[:k]
-        out_feats[d, :k] = feats[:n][m][:k]
-        out_num[d] = k
+    in_dtype = np.int16 if sparse_tgt else np.int32
+    out_locs, out_feats, out_num = _split_rows(
+        batch["input_locs"], batch["input_sdf"],
+        int(batch["input_num_valid"]), num_devices, per, cap_d,
+        locs_dtype=in_dtype,
+    )
 
     def split(a):
         return a.reshape(num_devices, per, *a.shape[1:])
@@ -112,9 +136,35 @@ def device_batch(batch: dict, num_devices: int,
         "input_locs": out_locs,
         "input_sdf": fcast(out_feats),
         "input_num_valid": out_num,
-        "sdf": fcast(split(batch["sdf"])),
-        "known": split(batch["known"]),
     }
+    if sparse_tgt:
+        tl, tv, tn = _split_rows(
+            batch["target_locs"], batch["target_vals"],
+            int(batch["target_num_valid"]), num_devices, per,
+            batch["target_locs"].shape[0] // num_devices,
+            locs_dtype=np.int16,
+        )
+        out.update(
+            target_locs=tl, target_vals=fcast(tv), target_num_valid=tn
+        )
+        hl_out, hv_out, hn_out = [], [], []
+        for hl, hv, hn in zip(
+            batch["hier_locs"], batch["hier_vals"], batch["hier_num"]
+        ):
+            a, b, c = _split_rows(
+                hl, hv, int(hn), num_devices, per,
+                hl.shape[0] // num_devices, locs_dtype=np.int16,
+            )
+            hl_out.append(a)
+            hv_out.append(fcast(b))
+            hn_out.append(c)
+        out.update(
+            hier_locs=hl_out, hier_vals=hv_out, hier_num=hn_out,
+            known_unk=split(batch["known_unk"]),
+        )
+        return out
+    out["sdf"] = fcast(split(batch["sdf"]))
+    out["known"] = split(batch["known"])
     if batch.get("hierarchy") is not None:
         out["hierarchy"] = [fcast(split(h)) for h in batch["hierarchy"]]
     else:

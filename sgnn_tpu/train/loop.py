@@ -76,6 +76,11 @@ class TrainOptions:
     # "npz" (single-host, dependency-free) or "orbax" (async, multi-host
     # sharded writes — pod-scale; see train/checkpoint.py)
     ckpt_backend: str = "npz"
+    # ship .sdfs targets as native sparse rows + bit-packed known and
+    # densify on device (data/dataset.py:collate_sparse,
+    # train/step.py:_densify_rows) — ~10x fewer H2D bytes than the dense
+    # grids the reference transfers (train.py:256-261)
+    sparse_targets: bool = False
 
 
 class Trainer:
@@ -154,6 +159,7 @@ class Trainer:
                 use_loss_masking=self.opts.use_loss_masking,
                 weight_decay=self.opts.weight_decay,
                 with_metrics=with_metrics,
+                sparse_targets=self.opts.sparse_targets,
             )
         return self._steps[key]
 
@@ -166,6 +172,7 @@ class Trainer:
                 use_log_transform=self.opts.logweight_target_sdf,
                 weight_missing_geo=self.opts.weight_missing_geo,
                 use_loss_masking=self.opts.use_loss_masking,
+                sparse_targets=self.opts.sparse_targets,
             )
         return self._eval_steps[key]
 
@@ -181,6 +188,17 @@ class Trainer:
         from sgnn_tpu.ops.sparse import make_sparse
 
         cfg = self.cfg
+        if "sdf" not in batch and "target_locs" in batch:
+            # sparse-target batch: reconstruct the dense target grid on
+            # host for the vis dump only (tiny, once per epoch)
+            batch = dict(batch)
+            tn = int(batch["target_num_valid"])
+            tl = batch["target_locs"][:tn]
+            tv = batch["target_vals"][:tn]
+            Bf = int(batch["known_unk"].shape[0])
+            sdf = np.full((Bf,) + tuple(cfg.input_dim), -np.inf, np.float32)
+            sdf[tl[:, 3], tl[:, 0], tl[:, 1], tl[:, 2]] = tv
+            batch["sdf"] = sdf
         n = int(batch["input_num_valid"])
         # single-device forward on the first cfg.batch_size samples
         B = cfg.batch_size
@@ -363,6 +381,13 @@ class Trainer:
                 ovf = (
                     int(metrics.get("overflow", 0)) if with_metrics else 0
                 )
+                tovf = batch.get("target_overflow", 0)
+                if tovf > 0:
+                    print(
+                        f"[capacity] WARNING iter {self.iteration}: "
+                        f"{tovf} target/hierarchy rows dropped at collate "
+                        f"(raise target/hier capacities)"
+                    )
                 if ovf > 0:
                     # sparse-execution capacity overflow: voxels dropped at
                     # a compaction. Raise occupancy_fractions (or use

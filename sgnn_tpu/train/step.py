@@ -18,17 +18,52 @@ from jax import shard_map
 
 from sgnn_tpu import losses as L
 from sgnn_tpu.config import SGNNConfig
+from sgnn_tpu.ops import coords as C
 from sgnn_tpu.models import sgnn as M
 from sgnn_tpu.ops.sparse import make_sparse
 from sgnn_tpu.parallel.mesh import DATA_AXIS
 from sgnn_tpu.train.state import TrainState, apply_updates
 
 
+def _densify_rows(locs, vals, num, dims, B, default):
+    """Scatter sparse rows (z,y,x,b) into a dense [B, *dims] f32 grid.
+
+    The device-side half of the sparse-target transfer path: the host
+    ships the .sdfs file's native sparse rows (data/dataset.py:
+    collate_sparse) and this reconstructs the dense grids the loss
+    consumes, identical to host-side sparse_to_dense + transfer
+    (/root/reference/torch/data_util.py:43-53 + train.py:256-261) at a
+    tenth of the H2D bytes.
+    """
+    keys = C.flat_key(locs, dims, B)
+    keys = jnp.where(C.valid_mask(num, locs.shape[0]), keys, -1)
+    flat = jnp.full((B * dims[0] * dims[1] * dims[2],), default, jnp.float32)
+    flat = flat.at[C.oob_key(keys)].set(
+        vals.astype(jnp.float32), mode="drop"
+    )
+    return flat.reshape((B,) + tuple(dims))
+
+
+def _unpack_known_bits(packed, dims, B):
+    """[B, nbytes] little-endian bit-packed (known >= UNK_THRESH) ->
+    uint8 [B, *dims] in {0, 255}. Only the >= UNK_THRESH predicate of the
+    reference's known grid reaches the loss (loss.py:10-13,22-25), so the
+    host ships one bit per voxel instead of one byte."""
+    nvox = dims[0] * dims[1] * dims[2]
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (packed[:, :, None] >> shifts) & jnp.uint8(1)
+    unk = bits.reshape(B, -1)[:, :nvox].reshape((B,) + tuple(dims))
+    return jnp.where(unk > 0, jnp.uint8(255), jnp.uint8(0))
+
+
 def _unpack_batch(cfg: SGNNConfig, batch):
     """Per-device batch (leading [1] axis from shard_map) -> tensors.
 
-    Float arrays may arrive in a reduced transfer dtype (bfloat16, see
-    parallel/mesh.py:device_batch); loss math stays f32 — cast back here.
+    Float arrays may arrive in a reduced transfer dtype (bfloat16) and
+    sparse coordinates in int16 (see parallel/mesh.py:device_batch); loss
+    math stays f32 — cast back here. Two schemas: dense grids
+    ("sdf"/"known"/"hierarchy") or sparse target rows ("target_locs"/
+    "hier_locs"/"known_unk", densified here on device).
     """
     st = make_sparse(
         batch["input_locs"][0].astype(jnp.int32),
@@ -37,6 +72,31 @@ def _unpack_batch(cfg: SGNNConfig, batch):
         cfg.input_dim,
         cfg.batch_size,
     )
+    B = cfg.batch_size
+    if "target_locs" in batch:
+        sdf = _densify_rows(
+            batch["target_locs"][0].astype(jnp.int32),
+            batch["target_vals"][0],
+            batch["target_num_valid"][0],
+            cfg.input_dim, B, -jnp.inf,
+        )
+        L_levels = cfg.num_hierarchy_levels
+        hierarchy = []
+        for h in range(L_levels - 1):
+            f = 2 ** (L_levels - 1 - h)
+            dims_h = tuple(d // f for d in cfg.input_dim)
+            hierarchy.append(
+                _densify_rows(
+                    batch["hier_locs"][h][0].astype(jnp.int32),
+                    batch["hier_vals"][h][0],
+                    batch["hier_num"][h][0],
+                    dims_h, B, -jnp.inf,
+                )
+            )
+        known = _unpack_known_bits(
+            batch["known_unk"][0], cfg.input_dim, B
+        )
+        return st, sdf, known, hierarchy
     sdf = batch["sdf"][0].astype(jnp.float32)
     known = batch["known"][0]
     hierarchy = (
@@ -47,8 +107,6 @@ def _unpack_batch(cfg: SGNNConfig, batch):
 
 
 def _input_mask(cfg, st):
-    from sgnn_tpu.ops import coords as C
-
     Z, Y, X = cfg.input_dim
     keys = C.flat_key(st.locs, cfg.input_dim, cfg.batch_size)
     keys = jnp.where(st.valid(), keys, -1)
@@ -204,6 +262,34 @@ def _metrics(cfg, out, targets, known, *, num_refine_active, do_surf,
     return {"iou": jnp.stack(ious), "l1pred": l1pred, "l1tgt": l1tgt}
 
 
+def _batch_specs(cfg: SGNNConfig, sparse_targets: bool):
+    """shard_map in_specs for the two batch schemas (parallel/mesh.py:
+    device_batch): everything sharded on its leading device axis."""
+    specs = {
+        "input_locs": P(DATA_AXIS),
+        "input_sdf": P(DATA_AXIS),
+        "input_num_valid": P(DATA_AXIS),
+    }
+    nh = cfg.num_hierarchy_levels - 1
+    if sparse_targets:
+        specs.update(
+            target_locs=P(DATA_AXIS),
+            target_vals=P(DATA_AXIS),
+            target_num_valid=P(DATA_AXIS),
+            hier_locs=[P(DATA_AXIS)] * nh,
+            hier_vals=[P(DATA_AXIS)] * nh,
+            hier_num=[P(DATA_AXIS)] * nh,
+            known_unk=P(DATA_AXIS),
+        )
+    else:
+        specs.update(
+            sdf=P(DATA_AXIS),
+            known=P(DATA_AXIS),
+            hierarchy=[P(DATA_AXIS)] * nh,
+        )
+    return specs
+
+
 def make_train_step(
     cfg: SGNNConfig,
     mesh,
@@ -215,6 +301,7 @@ def make_train_step(
     use_loss_masking: bool = True,
     weight_decay: float = 0.0,
     with_metrics: bool = False,
+    sparse_targets: bool = False,
 ):
     """Returns jitted (state, dev_batch, loss_weights, lr) -> (state, out).
 
@@ -260,14 +347,7 @@ def make_train_step(
             metrics.update({k: jax.lax.pmean(v, DATA_AXIS) for k, v in m.items()})
         return new_state, metrics
 
-    batch_specs = {
-        "input_locs": P(DATA_AXIS),
-        "input_sdf": P(DATA_AXIS),
-        "input_num_valid": P(DATA_AXIS),
-        "sdf": P(DATA_AXIS),
-        "known": P(DATA_AXIS),
-        "hierarchy": [P(DATA_AXIS)] * (cfg.num_hierarchy_levels - 1),
-    }
+    batch_specs = _batch_specs(cfg, sparse_targets)
     sharded = shard_map(
         step,
         mesh=mesh,
@@ -287,6 +367,7 @@ def make_eval_step(
     use_log_transform: bool = True,
     weight_missing_geo: float = 5.0,
     use_loss_masking: bool = True,
+    sparse_targets: bool = False,
 ):
     """Eval: forward + loss + metrics, BN in inference mode, no update."""
 
@@ -318,14 +399,7 @@ def make_eval_step(
         metrics.update({k: jax.lax.pmean(v, DATA_AXIS) for k, v in m.items()})
         return metrics
 
-    batch_specs = {
-        "input_locs": P(DATA_AXIS),
-        "input_sdf": P(DATA_AXIS),
-        "input_num_valid": P(DATA_AXIS),
-        "sdf": P(DATA_AXIS),
-        "known": P(DATA_AXIS),
-        "hierarchy": [P(DATA_AXIS)] * (cfg.num_hierarchy_levels - 1),
-    }
+    batch_specs = _batch_specs(cfg, sparse_targets)
     sharded = shard_map(
         step,
         mesh=mesh,

@@ -74,6 +74,12 @@ def parse_args():
                    help="dense_flow = masked dense grids; folded = lane-dense\n                   layout (fastest on TPU)")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--dense_transfer", action="store_true",
+                   help="ship dense target/known/hierarchy grids to the "
+                        "device (the reference's transfer layout, "
+                        "train.py:256-261) instead of the default sparse-"
+                        "row transfer densified on device (~10x fewer "
+                        "H2D bytes)")
     p.add_argument("--transfer_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="dtype float batch arrays are shipped to the "
@@ -164,29 +170,45 @@ def main():
         transfer_dtype=args.transfer_dtype,
         scheduler_step_size=args.scheduler_step_size,
         ckpt_backend=args.ckpt_backend,
+        sparse_targets=not args.dense_transfer,
     )
     trainer = Trainer(opts)
+
+    target_cap, hier_caps = 0, None
+    if not args.dense_transfer:
+        from sgnn_tpu.data.capacity import estimate_row_capacities
+
+        target_cap, hier_caps = estimate_row_capacities(
+            train_files, args.num_hierarchy_levels, args.truncation,
+            args.batch_size,
+        )
+        print(f"sparse-target transfer: target_capacity={target_cap} "
+              f"hier_capacities={hier_caps}")
 
     num_overfit_train = 640 if overfit else 0
     num_overfit_val = 160 if overfit else 0
     train_ds = SceneDataset(
         train_files, args.truncation, args.num_hierarchy_levels,
         num_overfit=num_overfit_train,
+        sparse_targets=not args.dense_transfer,
     )
     train_loader = BatchLoader(
         train_ds, args.batch_size, trainer.cfg.input_cap * trainer.num_devices,
         shuffle=True, seed=args.seed, transform=trainer.device_transform,
+        target_capacity=target_cap, hier_capacities=hier_caps,
     )
     val_loader = None
     if val_files:
         val_ds = SceneDataset(
             val_files, args.truncation, args.num_hierarchy_levels,
             num_overfit=num_overfit_val,
+            sparse_targets=not args.dense_transfer,
         )
         val_loader = BatchLoader(
             val_ds, args.batch_size,
             trainer.cfg.input_cap * trainer.num_devices,
             transform=trainer.device_transform,
+            target_capacity=target_cap, hier_capacities=hier_caps,
         )
 
     os.makedirs(args.save, exist_ok=True)
