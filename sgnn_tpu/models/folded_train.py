@@ -68,6 +68,21 @@ def _mask_bn_f(params, stats, groups, fm, *, training, axis_name,
 
 def _resblock_f(params, stats, fg, fm, *, training, axis_name):
     s = {}
+    if training:
+        # fused [batch BN+ReLU -> conv] sites: normalize rides the conv
+        # kernel's input affine (ops/folded.py:bn_conv_folded_train) —
+        # no standalone full-grid normalize pass per site
+        y, s["bn0"] = FO.bn_conv_folded_train(
+            params["bn0"], stats["bn0"], [fg], fm,
+            params["conv0"], params["conv0"].shape[-1],
+            axis_name=axis_name,
+        )
+        y, s["bn1"] = FO.bn_conv_folded_train(
+            params["bn1"], stats["bn1"], [y], fm,
+            params["conv1"], params["conv1"].shape[-1],
+            axis_name=axis_name,
+        )
+        return fg.with_data(fg.data + y.data), s
     y, s["bn0"] = _mask_bn_f(params["bn0"], stats["bn0"], [fg], fm,
                              training=training, axis_name=axis_name)
     y = FO.subm_conv_folded_train(y, fm, params["conv0"],

@@ -472,6 +472,37 @@ def occ_mask_folded(out_fg: FGrid, dtype=jnp.bfloat16) -> FGrid:
     return FGrid(m, out_fg.dims, out_fg.cpad, out_fg.cpad)
 
 
+def _bn_moments(fg: FGrid, fm: FGrid, axis_name=None):
+    """Masked per-channel batch moments of a folded grid (f32):
+    (mean[C], var[C], count). Differentiable XLA reductions; psum over
+    the DP axis when given (BN over the global batch)."""
+    C = fg.real_c
+    cpad = fg.cpad
+    F = LANES // cpad
+    xf = fg.data.astype(jnp.float32) * fm.data.astype(jnp.float32)
+    s = jnp.sum(xf, axis=(0, 1, 2, 3))            # [128]
+    sq = jnp.sum(xf * xf, axis=(0, 1, 2, 3))
+    cnt = jnp.sum(fm.data.astype(jnp.float32)) / cpad
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+        sq = jax.lax.psum(sq, axis_name)
+        cnt = jax.lax.psum(cnt, axis_name)
+    cnt = jnp.maximum(cnt, 1.0)
+    mean_c = (s.reshape(F, cpad).sum(0) / cnt)[:C]
+    var_c = jnp.maximum(
+        (sq.reshape(F, cpad).sum(0) / cnt)[:C] - mean_c * mean_c, 0.0
+    )
+    return mean_c, var_c, cnt
+
+
+def _bn_stats_update(stats, mean_c, var_c, cnt, momentum):
+    unbiased = var_c * (cnt / jnp.maximum(cnt - 1.0, 1.0))
+    return {
+        "mean": momentum * stats["mean"] + (1 - momentum) * mean_c,
+        "var": momentum * stats["var"] + (1 - momentum) * unbiased,
+    }
+
+
 def bn_folded(params: dict, stats: dict, fg: FGrid, fm: FGrid, *,
               training: bool, relu: bool = True, eps: float = 1e-4,
               momentum: float = 0.9, axis_name=None) -> tuple[FGrid, dict]:
@@ -487,24 +518,8 @@ def bn_folded(params: dict, stats: dict, fg: FGrid, fm: FGrid, *,
         return jnp.tile(v, F)
 
     if training:
-        xf = fg.data.astype(jnp.float32) * fm.data.astype(jnp.float32)
-        s = jnp.sum(xf, axis=(0, 1, 2, 3))            # [128]
-        sq = jnp.sum(xf * xf, axis=(0, 1, 2, 3))
-        cnt = jnp.sum(fm.data.astype(jnp.float32)) / cpad
-        if axis_name is not None:
-            s = jax.lax.psum(s, axis_name)
-            sq = jax.lax.psum(sq, axis_name)
-            cnt = jax.lax.psum(cnt, axis_name)
-        cnt = jnp.maximum(cnt, 1.0)
-        mean_c = (s.reshape(F, cpad).sum(0) / cnt)[:C]
-        var_c = jnp.maximum(
-            (sq.reshape(F, cpad).sum(0) / cnt)[:C] - mean_c * mean_c, 0.0
-        )
-        unbiased = var_c * (cnt / jnp.maximum(cnt - 1.0, 1.0))
-        new_stats = {
-            "mean": momentum * stats["mean"] + (1 - momentum) * mean_c,
-            "var": momentum * stats["var"] + (1 - momentum) * unbiased,
-        }
+        mean_c, var_c, cnt = _bn_moments(fg, fm, axis_name)
+        new_stats = _bn_stats_update(stats, mean_c, var_c, cnt, momentum)
         mean, var = mean_c, var_c
     else:
         mean, var = stats["mean"][:C], stats["var"][:C]
@@ -923,29 +938,35 @@ def _conv_train_fwd(xf, w27, cpad):
     return _conv_train_impl(xf, w27, cpad), (xf, w27)
 
 
-def _conv_train_bwd(cpad, res, g):
-    xf, w27 = res
+def _conv_dx(g, w27, cpad, xq, dtype):
+    """Input gradient of the folded 3^3 conv: conv of the re-halo'd
+    cotangent with flipped, in/out-transposed taps. Returns a HALO'D grid
+    (ring zero — see conv_folded_train's halo note)."""
     K, cin, cout = w27.shape
-    B, Zp, Yp, xq, _ = xf.shape
-    Z, Y = Zp - 2, Yp - 2
-    g = g.astype(xf.dtype)
-    # ---- dx: conv of the re-halo'd cotangent with flipped-transposed taps
     wt = jnp.flip(w27.reshape(3, 3, 3, cin, cout), (0, 1, 2))
     wt = wt.reshape(27, cin, cout).transpose(0, 2, 1)  # [27, cout, cin]
-    gh = _rehalo(g, xq)
+    gh = _rehalo(g.astype(dtype), xq)
     dxi = _conv_train_impl(gh, wt, cpad)  # unpadded interior
-    dx = _rehalo(dxi.astype(xf.dtype), xq)
-    # ---- dW: M[k] = lhs_k^T @ g per (dz, dy) for main and carry lhs,
-    # then the adjoint of _fold_weights' constant slot patterns
+    return _rehalo(dxi.astype(dtype), xq)
+
+
+def _conv_dw(xf, g, w27_shape, w27_dtype, cpad):
+    """Weight gradient: M[k] = lhs_k^T @ g per (dz, dy) for main and
+    carry lhs, then the adjoint of _fold_weights' constant slot
+    patterns. ``xf`` is the (halo'd) conv INPUT, ``g`` the unpadded
+    cotangent."""
     from sgnn_tpu.ops.pallas.conv3d_folded import _slot_patterns
 
+    K, cin, cout = w27_shape
+    B, Zp, Yp, xq, _ = xf.shape
+    Z, Y = Zp - 2, Yp - 2
     fold = LANES // cpad
     zrow = jnp.zeros_like(xf[:, :, :, :1])
     nxt = jnp.concatenate([xf[:, :, :, 1:], zrow], axis=3)
     prv = jnp.concatenate([zrow, xf[:, :, :, :-1]], axis=3)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, LANES), 4)
     carry = jnp.where(lane < cpad, nxt, prv)
-    grows = g.reshape(-1, LANES)
+    grows = g.astype(xf.dtype).reshape(-1, LANES)
     dn = (((0,), (0,)), ((), ()))
     Mm, Mc = [], []
     for dz in range(3):
@@ -970,7 +991,15 @@ def _conv_train_bwd(cpad, res, g):
         jnp.einsum("dji,kjcio->kdco", jnp.asarray(eyed), Mm_r)
         + jnp.einsum("dji,kjcio->kdco", jnp.asarray(carryd), Mc_r)
     )
-    dw = dw9.reshape(27, cpad, cpad)[:, :cin, :cout].astype(w27.dtype)
+    return dw9.reshape(27, cpad, cpad)[:, :cin, :cout].astype(w27_dtype)
+
+
+def _conv_train_bwd(cpad, res, g):
+    xf, w27 = res
+    B, Zp, Yp, xq, _ = xf.shape
+    g = g.astype(xf.dtype)
+    dx = _conv_dx(g, w27, cpad, xq, xf.dtype)
+    dw = _conv_dw(xf, g, w27.shape, w27.dtype, cpad)
     return dx, dw
 
 
@@ -993,6 +1022,127 @@ def subm_conv_folded_train(groups: list, fm: FGrid, w27: jax.Array,
     fg0 = groups[0]
     out = _rehalo(acc.astype(fg0.data.dtype), fg0.data.shape[3]) * fm.data
     return FGrid(out, fg0.dims, cout, fg0.cpad)
+
+
+# ------------------------------------ fused train BN+ReLU -> conv (custom VJP)
+#
+# Train-mode BN feeding a Pallas conv cannot be fused by XLA (elementwise
+# producers do not fuse into custom calls), so the v2 composition
+# [bn_folded -> subm_conv_folded_train] pays a full-grid normalize
+# write + re-read per site (~76 ms/step device-side, BENCH_NOTES round 2).
+# Here the batch moments stay a cheap differentiable XLA reduce, and the
+# normalize+ReLU+mask rides the fused conv kernel's input affine
+# (ops/pallas/conv3d_folded.py:fused_conv_folded — the same prologue the
+# eval path uses), with a composite custom VJP. Matches the fusion role of
+# scn.BatchNormReLU before convs (/root/reference/torch/model.py:37-45).
+
+
+def _bnconv_impl(cpad, xs, m, a_ts, b_ts, ws):
+    """relu(x_g * a_g + b_g) * m -> sum_g conv3 -> * m, halo'd output."""
+    dt = xs[0].dtype
+    if jax.default_backend() == "tpu":
+        from sgnn_tpu.ops.pallas.conv3d_folded import fused_conv_folded
+
+        return fused_conv_folded(
+            list(xs), m, [w.astype(dt) for w in ws], cpad,
+            affines=list(zip(a_ts, b_ts)), relu=True,
+        )
+    acc = None
+    for x, a, b, w in zip(xs, a_ts, b_ts, ws):
+        u = jnp.maximum(x.astype(jnp.float32) * a + b, 0.0)
+        u = u.astype(dt) * m
+        y = conv_folded_xla(u, w.astype(dt), cpad)
+        acc = y if acc is None else acc + y
+    xq = xs[0].shape[3]
+    return _rehalo(acc.astype(dt), xq) * m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _bnconv_core(cpad, xs, m, a_ts, b_ts, ws):
+    return _bnconv_impl(cpad, xs, m, a_ts, b_ts, ws)
+
+
+def _bnconv_core_fwd(cpad, xs, m, a_ts, b_ts, ws):
+    return _bnconv_impl(cpad, xs, m, a_ts, b_ts, ws), (xs, m, a_ts, b_ts, ws)
+
+
+def _bnconv_core_bwd(cpad, res, g):
+    xs, m, a_ts, b_ts, ws = res
+    x0 = xs[0]
+    xq = x0.shape[3]
+    dt = x0.dtype
+    # adjoint of out = _rehalo(acc) * m: m's halo ring is zero, so the
+    # interior slice of g*m is the acc cotangent
+    d_acc = (g * m).astype(dt)[:, 1:-1, 1:-1]
+    mf = m.astype(jnp.float32)
+    dxs, das, dbs, dws = [], [], [], []
+    for x, a, b, w in zip(xs, a_ts, b_ts, ws):
+        pre = x.astype(jnp.float32) * a + b
+        gate = jnp.where(pre > 0, mf, 0.0)
+        u = jnp.maximum(pre, 0.0).astype(dt) * m  # recomputed, XLA-fused
+        g_u = _conv_dx(d_acc, w, cpad, xq, dt).astype(jnp.float32)
+        g_pre = g_u * gate
+        dxs.append((g_pre * a).astype(dt))
+        das.append(jnp.sum(g_pre * x.astype(jnp.float32), axis=(0, 1, 2, 3)))
+        dbs.append(jnp.sum(g_pre, axis=(0, 1, 2, 3)))
+        dws.append(_conv_dw(u, d_acc, w.shape, w.dtype, cpad))
+    # mask cotangent: every folded mask originates at a comparison
+    # (occ_mask_folded's > 0.5, scatter validity) so its gradient is
+    # discarded by autodiff anyway; return zeros instead of materializing
+    # the dead-end products
+    return (
+        tuple(dxs), jnp.zeros_like(m), tuple(das), tuple(dbs), tuple(dws)
+    )
+
+
+_bnconv_core.defvjp(_bnconv_core_fwd, _bnconv_core_bwd)
+
+
+def bn_conv_folded_train(bn_params: dict, bn_stats: dict, groups: list,
+                         fm: FGrid, w27: jax.Array, cout: int, *,
+                         axis_name=None, eps: float = 1e-4,
+                         momentum: float = 0.9) -> tuple[FGrid, dict]:
+    """Fused train-mode BN(+ReLU) -> 3^3 conv site.
+
+    Same result and gradients as [_mask_bn_f(training=True) ->
+    subm_conv_folded_train] (tests/test_folded_train.py), one fused
+    Pallas pass on TPU: moments via XLA reduce (differentiable — the
+    BN backward's moment terms fall out of autodiff), normalize riding
+    the kernel input affine. Stats contract matches _mask_bn_f
+    (concatenated per-group moments).
+    """
+    fg0 = groups[0]
+    cpad = fg0.cpad
+    F = LANES // cpad
+    xs, a_ts, b_ts, ws = [], [], [], []
+    means, vars_ = [], []
+    off = 0
+    for fg in groups:
+        c = fg.real_c
+        p = {k: bn_params[k][off:off + c] for k in ("scale", "bias")}
+        st = {k: bn_stats[k][off:off + c] for k in ("mean", "var")}
+        mean_c, var_c, cnt = _bn_moments(fg, fm, axis_name)
+        ns = _bn_stats_update(st, mean_c, var_c, cnt, momentum)
+        means.append(ns["mean"])
+        vars_.append(ns["var"])
+        inv = jax.lax.rsqrt(var_c + eps) * p["scale"].astype(jnp.float32)
+        beta = p["bias"].astype(jnp.float32) - mean_c * inv
+        a = jnp.zeros((cpad,), jnp.float32).at[:c].set(inv)
+        b = jnp.zeros((cpad,), jnp.float32).at[:c].set(beta)
+        xs.append(fg.data)
+        a_ts.append(jnp.tile(a, F))
+        b_ts.append(jnp.tile(b, F))
+        ws.append(w27[:, off:off + c, :])
+        off += c
+    assert off == w27.shape[1], (off, w27.shape)
+    out = _bnconv_core(
+        cpad, tuple(xs), fm.data, tuple(a_ts), tuple(b_ts), tuple(ws)
+    )
+    new_stats = {
+        "mean": jnp.concatenate(means) if len(means) > 1 else means[0],
+        "var": jnp.concatenate(vars_) if len(vars_) > 1 else vars_[0],
+    }
+    return FGrid(out, fg0.dims, cout, cpad), new_stats
 
 
 def halo_exchange_z(fg: FGrid, axis_name: str) -> FGrid:

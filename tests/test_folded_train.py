@@ -170,3 +170,68 @@ def test_folded_train_step_runs(setup):
         assert _np.isfinite(losses[execution])
     np.testing.assert_allclose(losses["folded"], losses["dense_flow"],
                                rtol=1e-3)
+
+
+def test_bn_conv_fused_matches_composition(rng):
+    """ops/folded.py:bn_conv_folded_train == [bn_folded(train) ->
+    subm_conv_folded_train]: forward, running stats, and gradients wrt
+    input grid, BN scale/bias, and conv weights (the composite custom
+    VJP's moment terms must fall out of autodiff exactly)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sgnn_tpu.ops import folded as FO
+
+    cpad = 16
+    B, Z, Y, X = 2, 8, 8, 16
+    C, cout = 8, 8
+    xq = FO._xq_for(X, cpad)
+    data = np.zeros((B, Z + 2, Y + 2, xq, FO.LANES), np.float32)
+    mask = np.zeros_like(data)
+    occ = rng.rand(B, Z, Y, xq, FO.LANES // cpad) > 0.4
+    occ_l = np.repeat(occ, cpad, axis=-1).reshape(mask[:, 1:-1, 1:-1].shape)
+    mask[:, 1:-1, 1:-1] = occ_l
+    data[:, 1:-1, 1:-1] = rng.randn(B, Z, Y, xq, FO.LANES) * occ_l
+    fg = FO.FGrid(jnp.asarray(data), (Z, Y, X), C, cpad)
+    fm = FO.FGrid(jnp.asarray(mask), (Z, Y, X), cpad, cpad)
+    bn_p = {
+        "scale": jnp.asarray(rng.rand(C).astype(np.float32) + 0.5),
+        "bias": jnp.asarray(rng.randn(C).astype(np.float32) * 0.1),
+    }
+    bn_s = {
+        "mean": jnp.zeros((C,), jnp.float32),
+        "var": jnp.ones((C,), jnp.float32),
+    }
+    w = jnp.asarray(rng.randn(27, C, cout).astype(np.float32) * 0.1)
+
+    def fused(data, scale, bias, w):
+        g = FO.FGrid(data, (Z, Y, X), C, cpad)
+        out, ns = FO.bn_conv_folded_train(
+            {"scale": scale, "bias": bias}, bn_s, [g], fm, w, cout,
+        )
+        return jnp.sum(out.data ** 2), (out.data, ns)
+
+    def composed(data, scale, bias, w):
+        g = FO.FGrid(data, (Z, Y, X), C, cpad)
+        y, ns = FO.bn_folded(
+            {"scale": scale, "bias": bias}, bn_s, g, fm, training=True,
+        )
+        out = FO.subm_conv_folded_train([y], fm, w, cout)
+        return jnp.sum(out.data ** 2), (out.data, ns)
+
+    args = (jnp.asarray(data), bn_p["scale"], bn_p["bias"], w)
+    (lf, (of, nsf)), gf = jax.value_and_grad(
+        fused, argnums=(0, 1, 2, 3), has_aux=True)(*args)
+    (lc, (oc, nsc)), gc = jax.value_and_grad(
+        composed, argnums=(0, 1, 2, 3), has_aux=True)(*args)
+
+    np.testing.assert_allclose(np.asarray(of), np.asarray(oc),
+                               rtol=1e-5, atol=1e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(np.asarray(nsf[k]), np.asarray(nsc[k]),
+                                   rtol=1e-6, atol=1e-6)
+    for a, b, name in zip(gf, gc, ("dx", "dscale", "dbias", "dw")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=name,
+        )

@@ -39,10 +39,14 @@ def make_chunk(rng, dims=(128, 64, 64), vs=0.02, n_surface=8000):
     target[z, y, x] = in_sdf
     known = (rng.rand(*dims) * 3).astype(np.uint8)
     hier = []
+    # ~8% occupancy per hierarchy level: matches real scan chunks
+    # (a 12-voxel truncFactor-6 band around room surfaces; the sparse
+    # transfer path's row counts are workload-dependent, so the synthetic
+    # data must carry realistic sparsity)
     for f in (8, 4, 2):
         hd = (Z // f, Y // f, X // f)
         g = np.full(hd, -np.inf, np.float32)
-        m = rng.rand(*hd) > 0.5
+        m = rng.rand(*hd) > 0.92
         g[m] = rng.randn(int(m.sum())).astype(np.float32)
         hier.append(g)
     return F.TrainChunk(
@@ -61,6 +65,13 @@ def main():
     ap.add_argument("--compute_dtype", default="bfloat16")
     ap.add_argument("--transfer_dtype", default="float32")
     ap.add_argument("--log_every", type=int, default=20)
+    ap.add_argument("--window", type=int, default=1,
+                    help=">1: time windows of N steps with one completion "
+                         "fetch per window (the production sync cadence) "
+                         "instead of fetching every step")
+    ap.add_argument("--dense_transfer", action="store_true",
+                    help="ship dense target grids (the pre-round-3 "
+                         "layout) instead of sparse rows")
     args = ap.parse_args()
 
     import jax
@@ -100,6 +111,7 @@ def main():
         ckpt_every=0,
         save_epoch=0,
         save=os.path.join(tmp, "logs"),
+        sparse_targets=not args.dense_transfer,
     )
     # num_iters_per_level=0 would divide by zero in the schedule; emulate
     # "all active" by starting the iteration counter past the fade-in
@@ -112,37 +124,66 @@ def main():
     )
     assert S.active_levels(lw) == (opts.num_hierarchy_levels - 1, True)
 
-    ds = SceneDataset(files, truncation=3.0, num_hierarchy_levels=4)
+    ds = SceneDataset(
+        files, truncation=3.0, num_hierarchy_levels=4,
+        sparse_targets=not args.dense_transfer,
+    )
+    target_cap, hier_caps = 0, None
+    if not args.dense_transfer:
+        from sgnn_tpu.data.capacity import estimate_row_capacities
+
+        target_cap, hier_caps = estimate_row_capacities(
+            files, 4, 3.0, args.batch_size
+        )
+        print(f"sparse-target caps: {target_cap} {hier_caps}",
+              file=sys.stderr)
     loader = BatchLoader(
         ds, args.batch_size, trainer.cfg.input_cap * trainer.num_devices,
         shuffle=True, seed=0, transform=trainer.device_transform,
+        target_capacity=target_cap, hier_capacities=hier_caps,
     )
 
     import jax
 
+    # Two timing modes, both forcing completion with a device->host fetch
+    # (on this tunnel block_until_ready returns at dispatch):
+    #  * per-step: fetch the loss after EVERY step — upper bound; adds one
+    #    tunnel RTT per step the production loop does not pay.
+    #  * windowed: fetch once per --window steps (the production cadence:
+    #    train/loop.py only syncs on the log_every boundary); window time /
+    #    window = the pipeline's true sustained step time.
     times = []
+    win_times = []
     done = 0
     t_prev = None
+    t_win = None
     while done < args.steps + args.warmup:
         for batch, dev in trainer._prefetch(loader):
             with_metrics = trainer.iteration % args.log_every == 0
             metrics, _ = trainer.run_step(batch, with_metrics, dev_batch=dev)
-            # fetch the scalar: on the remote-execution tunnel
-            # block_until_ready returns at dispatch, so a device->host
-            # read is the only way to force completion (same method as
-            # bench.py). Adds one tunnel RTT per step — the reported
-            # step time is a slight overestimate.
-            float(np.asarray(metrics["loss"]))
-            t = time.perf_counter()
-            if t_prev is not None:
-                times.append(t - t_prev)
-            t_prev = t
             done += 1
+            if args.window <= 1 or done % args.window == 0 or (
+                done >= args.steps + args.warmup
+            ):
+                float(np.asarray(metrics["loss"]))
+                t = time.perf_counter()
+                if args.window > 1:
+                    if t_win is not None and done > args.warmup:
+                        win_times.append((t - t_win) / args.window)
+                    t_win = t
+            if args.window <= 1:
+                t = time.perf_counter()
+                if t_prev is not None:
+                    times.append(t - t_prev)
+                t_prev = t
             if done >= args.steps + args.warmup:
                 break
         t_prev = None  # epoch boundary: don't time the loader restart
 
-    steady = np.array(times[args.warmup:])
+    if args.window > 1:
+        steady = np.array(win_times)
+    else:
+        steady = np.array(times[args.warmup:])
     step_ms = float(np.median(steady) * 1e3)
     print(json.dumps({
         "step_ms": round(step_ms, 1),
@@ -150,8 +191,9 @@ def main():
         "mean_step_ms": round(float(steady.mean() * 1e3), 1),
         "p90_step_ms": round(float(np.percentile(steady, 90) * 1e3), 1),
         "steps": len(steady),
+        "window": args.window,
         "loss": float(metrics["loss"]),
-        "times_ms": [round(t * 1e3, 1) for t in times],
+        "times_ms": [round(t * 1e3, 1) for t in steady],
     }))
 
 
