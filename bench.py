@@ -5,9 +5,14 @@ Workload: the BASELINE.json headline config — fully-convolutional scene
 completion (4 hierarchy levels + surface SDF prediction) on a synthetic
 mp-rooms-sized volume (96x192x192 voxels @ 2cm ~ a 1.9m x 3.8m x 3.8m
 room, ~68k active input voxels), matching test_scene.py's per-scene
-forward. Runs the dense-flow execution (models/dense_flow.py) in bf16 —
-the fastest of the three execution modes (see BENCH_NOTES.md for the
-measured comparison; override with SGNN_BENCH_EXEC / SGNN_BENCH_DTYPE).
+forward. On TPU this runs the FOLDED lane-dense execution
+(models/folded_flow.py + the fused Pallas kernel family) in bf16 — the
+fastest of the four execution modes (see BENCH_NOTES.md for the measured
+comparison; override with SGNN_BENCH_EXEC / SGNN_BENCH_DTYPE /
+SGNN_BENCH_INT8). The forward is the only-surface serving configuration
+(want_level_outputs=False): per-level raw head grids are not
+materialized, matching what the reference's test_scene.py keeps per
+scene (test_scene.py:96-100 exports inputs + surface SDF only).
 
 Timing method: the execution tunnel on this host reports async dispatch
 times (block_until_ready does not block on remote completion), so naive
@@ -87,6 +92,9 @@ def main():
             out = FF.genmodel_apply_folded(
                 params, stats, cfg, st,
                 num_refine_active=cfg.num_refine_levels, do_surf=True,
+                # only-surface serving: the chain consumes surf + coarse
+                # only, and Pallas outputs are opaque to XLA DCE
+                want_level_outputs=False,
             )
             return jnp.sum(
                 jnp.where(out.surf_mask, out.surf_sdf, 0.0)

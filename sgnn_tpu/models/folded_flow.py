@@ -117,7 +117,7 @@ def _encoder_layer(params, stats, groups, fm, cpad_out=None, q=False,
 
 def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
                           *, num_refine_active: int, do_surf: bool,
-                          sp_axis=None):
+                          sp_axis=None, want_level_outputs: bool = True):
     """Inference forward in the folded layout. Output contract matches
     genmodel_apply_dense (a DenseFlowOutput of unfolded arrays).
 
@@ -129,7 +129,14 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
     so each 3^3 conv/upconv site refills its ring from the neighbors'
     boundary planes (ops/folded.py:halo_exchange_z over ICI) and every
     other op is slab-local. Requires Z % (32 * axis_size) == 0. Outputs
-    are local z-slabs."""
+    are local z-slabs.
+
+    ``want_level_outputs=False``: per-level raw head grids and masks are
+    not materialized (refine_outs / refine_masks_unfilt come back as
+    Nones) — the head kernels skip their raw f32 output entirely, which
+    at the finest level is the largest HBM write of the forward. Use for
+    production inference where only the surface is exported (matches
+    what the reference's test_scene.py:96-100 saves)."""
     dt = jnp.dtype(cfg.compute_dtype)
     Z, Y, X = st.spatial_size
     B = st.batch_size
@@ -233,6 +240,7 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
             # n2-BN + heads + occupancy gate + masking as ONE kernel
             upm, o2m, new_fm, out2 = FO.head_site_fused(
                 up, fm_unfilt, p["n2"], st_h["n2"], w2, b2, dtype=dt,
+                emit_raw=want_level_outputs,
             )
         new_fm = exm(new_fm)
         nxt = []
@@ -249,8 +257,12 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
             sk, _sk_fm = skips[L_ref - h]
             cur = [*cur, sk.with_data(sk.data * cur_fm.data)]
         cur, cur_fm, out2, fm_unfilt = refine_level(p, st_h, cur, cur_fm)
-        ref_outs.append(FO.unfold(out2).astype(jnp.float32))
-        ref_masks.append(FO.unfold(fm_unfilt)[..., 0] > 0.5)
+        if want_level_outputs:
+            ref_outs.append(FO.unfold(out2).astype(jnp.float32))
+            ref_masks.append(FO.unfold(fm_unfilt)[..., 0] > 0.5)
+        else:
+            ref_outs.append(None)
+            ref_masks.append(None)
 
     # ---- surface prediction
     if do_surf and num_refine_active == L_ref:

@@ -760,14 +760,17 @@ def _eval_affine(bn_params, bn_stats, c, cpad, off=0, eps=1e-4):
 
 def head_site_fused(up: FGrid, fm: FGrid, bn_params: dict, bn_stats: dict,
                     W2: jax.Array, b2: jax.Array, *, dtype=jnp.bfloat16,
-                    eps: float = 1e-4
-                    ) -> tuple[FGrid, FGrid, FGrid, FGrid]:
+                    eps: float = 1e-4, emit_raw: bool = True
+                    ) -> tuple[FGrid, FGrid, FGrid, FGrid | None]:
     """Fused refinement tail: [n2 eval-BN + ReLU + mask] -> heads linear
     (occ ch0 | sdf ch1) -> occupancy gate -> (masked post-BN feats,
     masked heads, new mask, raw f32 heads), ONE Pallas kernel
     (ops/pallas/conv3d_folded.py:fused_head_folded). Replaces the chain
     [bn_folded, linear_folded, occ_mask_folded, 3 mask multiplies]
-    (the reference's model.py:189-190,233-246 head + sparsify)."""
+    (the reference's model.py:189-190,233-246 head + sparsify).
+    ``emit_raw=False`` skips the raw f32 heads grid (last return is
+    None) — the largest HBM write of the forward at the finest level,
+    unneeded when the caller only exports the surface."""
     from sgnn_tpu.ops.pallas.conv3d_folded import fused_head_folded
 
     cpad = up.cpad
@@ -782,17 +785,19 @@ def head_site_fused(up: FGrid, fm: FGrid, bn_params: dict, bn_stats: dict,
     )
     bt = jnp.tile(bl, F)
     brep = bt @ R
-    upm, o2m, fmn, o2f = fused_head_folded(
+    outs = fused_head_folded(
         [up.data], fm.data,
         Wt[None].astype(up.data.dtype), jnp.stack([bt, brep]),
         affines=jnp.stack([a[None], b[None]]),
         woccs=Wocc[None].astype(up.data.dtype), gate=True,
+        emit_raw=emit_raw,
     )
+    upm, o2m, fmn = outs[:3]
     return (
         FGrid(upm, up.dims, up.real_c, cpad),
         FGrid(o2m, up.dims, cout, cpad),
         FGrid(fmn, up.dims, cpad, cpad),
-        FGrid(o2f, up.dims, cout, cpad),
+        FGrid(outs[3], up.dims, cout, cpad) if emit_raw else None,
     )
 
 

@@ -1362,15 +1362,28 @@ def fused_downconv_folded(
 # head + sparsify step (/root/reference/torch/model.py:189-190,233-246).
 
 
-def _kernel_head(*refs, G, tz, ty, xq, relu, gate, acc_dtype):
+def _kernel_head(*refs, G, tz, ty, xq, relu, gate, acc_dtype,
+                 emit_raw=True):
     xrefs = refs[:G]
     mask_ref = refs[G]
     wh_ref, wocc_ref, ab_ref, bias_ref = refs[G + 1:G + 5]
+    raw = emit_raw or not gate
     if gate:
-        (up_ref, o2_ref, fm_ref, f32_ref) = refs[G + 5:G + 9]
-        scratch = refs[G + 9:]
-        (tbuf, upb, o2b, fmb, f32b, zb_z, zb_y, zb_c,
-         in_sems, out_sems, ring_sems) = scratch
+        if raw:
+            (up_ref, o2_ref, fm_ref, f32_ref) = refs[G + 5:G + 9]
+            scratch = refs[G + 9:]
+            (tbuf, upb, o2b, fmb, f32b, zb_z, zb_y, zb_c,
+             in_sems, out_sems, ring_sems) = scratch
+        else:
+            # production inference never reads the raw f32 head grid
+            # (the finest level's is 128-lane f32 — by far the largest
+            # write of the whole forward); skip the buffer and the DMA
+            (up_ref, o2_ref, fm_ref) = refs[G + 5:G + 8]
+            f32_ref = None
+            scratch = refs[G + 8:]
+            (tbuf, upb, o2b, fmb, zb_z, zb_y, zb_c,
+             in_sems, out_sems, ring_sems) = scratch
+            f32b = None
         orefs = (up_ref, o2_ref, fm_ref)
         obufs = (upb, o2b, fmb)
     else:
@@ -1387,7 +1400,8 @@ def _kernel_head(*refs, G, tz, ty, xq, relu, gate, acc_dtype):
     iy = pl.program_id(2)
     k = (b * nz + iz) * ny + iy
     total = pl.num_programs(0) * nz * ny
-    nout = len(obufs) + 1
+    bufs = (*obufs, f32b) if raw else obufs
+    nout = len(bufs)
 
     def in_dmas(step, slot):
         bb = step // (nz * ny)
@@ -1419,7 +1433,6 @@ def _kernel_head(*refs, G, tz, ty, xq, relu, gate, acc_dtype):
     @pl.when(k > 1)
     def _():
         for j in range(nout):
-            bufs = (*obufs, f32b)
             pltpu.make_async_copy(
                 bufs[j].at[k % 2], bufs[j].at[k % 2], out_sems.at[k % 2, j]
             ).wait()
@@ -1451,13 +1464,14 @@ def _kernel_head(*refs, G, tz, ty, xq, relu, gate, acc_dtype):
                 lhs, wocc_ref[g], preferred_element_type=acc_dtype
             )
     out2 = acc2 + bias_ref[0]
-    f32b[slot] = out2.reshape(tz, ty, xq, LANES)
-    pltpu.make_async_copy(
-        f32b.at[slot],
-        f32_ref.at[b, pl.ds(1 + iz * tz, tz), pl.ds(1 + iy * ty, ty),
-                   :, :],
-        out_sems.at[slot, nout - 1],
-    ).start()
+    if raw:
+        f32b[slot] = out2.reshape(tz, ty, xq, LANES)
+        pltpu.make_async_copy(
+            f32b.at[slot],
+            f32_ref.at[b, pl.ds(1 + iz * tz, tz), pl.ds(1 + iy * ty, ty),
+                       :, :],
+            out_sems.at[slot, nout - 1],
+        ).start()
 
     if gate:
         occ_l = accoc + bias_ref[1]
@@ -1514,7 +1528,6 @@ def _kernel_head(*refs, G, tz, ty, xq, relu, gate, acc_dtype):
     @pl.when(k == total - 1)
     def _():
         for j in range(nout):
-            bufs = (*obufs, f32b)
             pltpu.make_async_copy(
                 bufs[j].at[slot], bufs[j].at[slot], out_sems.at[slot, j]
             ).wait()
@@ -1522,7 +1535,6 @@ def _kernel_head(*refs, G, tz, ty, xq, relu, gate, acc_dtype):
     @pl.when((k == total - 2) & (total > 1))
     def _():
         for j in range(nout):
-            bufs = (*obufs, f32b)
             pltpu.make_async_copy(
                 bufs[j].at[slot], bufs[j].at[slot], out_sems.at[slot, j]
             ).wait()
@@ -1538,10 +1550,16 @@ def fused_head_folded(
     woccs: jax.Array | None = None,  # [G, 128, 128] Wh @ R (gate mode)
     relu: bool = True,
     gate: bool = True,
+    emit_raw: bool = True,
 ):
     """Fused per-voxel head site. gate=True (G==1): returns (masked
     post-BN feats bf16, masked head grid bf16, new mask bf16, raw head
-    grid f32). gate=False: returns the raw f32 head grid only (surface)."""
+    grid f32). gate=False: returns the raw f32 head grid only (surface).
+    ``emit_raw=False`` (gate mode only) drops the raw f32 grid — a
+    3-tuple return. Production inference never reads it, and at the
+    finest level it is the single largest HBM write of the forward
+    (128-lane f32); Pallas outputs are opaque to XLA DCE, so the skip
+    must happen here."""
     G = len(xs)
     x0 = xs[0]
     B, Zp, Yp, xq, _ = x0.shape
@@ -1554,7 +1572,8 @@ def fused_head_folded(
         woccs = jnp.zeros_like(whs)
 
     best = (1, 1)
-    nob = (3 * isz + 4) if gate else 4
+    nraw = 1 if (emit_raw or not gate) else 0
+    nob = (3 * isz + 4 * nraw) if gate else 4
     for tz in (16, 12, 8, 6, 4, 3, 2, 1):
         if Z % tz:
             continue
@@ -1572,7 +1591,7 @@ def fused_head_folded(
     grid = (B, Z // tz, Y // ty)
     kernel = functools.partial(
         _kernel_head, G=G, tz=tz, ty=ty, xq=xq, relu=relu, gate=gate,
-        acc_dtype=jnp.float32,
+        acc_dtype=jnp.float32, emit_raw=emit_raw,
     )
     shp = (B, Zp, Yp, xq, LANES)
     f32_shape = jax.ShapeDtypeStruct(shp, jnp.float32)
@@ -1581,19 +1600,20 @@ def fused_head_folded(
             jax.ShapeDtypeStruct(shp, dt),   # masked post-BN feats
             jax.ShapeDtypeStruct(shp, dt),   # masked head outputs
             jax.ShapeDtypeStruct(shp, dt),   # new mask
-            f32_shape,                       # raw head grid
+            *((f32_shape,) if emit_raw else ()),  # raw head grid
         )
         scratch = [
             pltpu.VMEM((2, G + 1, tz, ty, xq, LANES), dt),  # tbuf
             pltpu.VMEM((2, tz, ty, xq, LANES), dt),         # upb
             pltpu.VMEM((2, tz, ty, xq, LANES), dt),         # o2b
             pltpu.VMEM((2, tz, ty, xq, LANES), dt),         # fmb
-            pltpu.VMEM((2, tz, ty, xq, LANES), jnp.float32),  # f32b
+            *((pltpu.VMEM((2, tz, ty, xq, LANES), jnp.float32),)
+              if emit_raw else ()),                         # f32b
             pltpu.VMEM((1, ty, xq, LANES), dt),             # zb_z
             pltpu.VMEM((tz, 1, xq, LANES), dt),             # zb_y
             pltpu.VMEM((1, 1, xq, LANES), dt),              # zb_c
             pltpu.SemaphoreType.DMA((2, G + 1)),            # in
-            pltpu.SemaphoreType.DMA((2, 4)),                # out
+            pltpu.SemaphoreType.DMA((2, 3 + nraw)),         # out
             pltpu.SemaphoreType.DMA((24,)),                 # rings
         ]
     else:

@@ -425,6 +425,16 @@ def test_fused_head_folded_interpret(rng):
 
         upm, o2m, fmn, o2f = FO.head_site_fused(up, fm, bn_p, bn_s, w2, b2)
 
+        # emit_raw=False: identical gated outputs, raw grid skipped
+        upm2, o2m2, fmn2, o2f2 = FO.head_site_fused(
+            up, fm, bn_p, bn_s, w2, b2, emit_raw=False
+        )
+        assert o2f2 is None
+        for a, b in ((upm2, upm), (o2m2, o2m), (fmn2, fmn)):
+            np.testing.assert_allclose(
+                np.asarray(a.data), np.asarray(b.data), rtol=1e-6, atol=1e-6
+            )
+
         # composed reference (the SGNN_NO_HEADK path)
         ub = FO.bn_folded({"scale": bn_p["scale"], "bias": bn_p["bias"]},
                           bn_s, up, fm, training=False)[0]

@@ -190,3 +190,44 @@ def test_folded_int8_close_to_exact(rng, interpret_pallas):
     assert err.mean() / scale < 0.05, (err.mean(), scale)
     assert np.percentile(err, 95) / scale < 0.15, (
         np.percentile(err, 95), scale)
+
+
+def test_folded_surface_only_outputs(rng, interpret_pallas):
+    """want_level_outputs=False (production only-surface serving) must
+    reproduce the surface outputs exactly while returning None for the
+    per-level raw grids/masks."""
+    cfg = SGNNConfig(
+        encoder_dim=4,
+        input_dim=(16, 16, 16),
+        nf_coarse=8,
+        nf=8,
+        num_hierarchy_levels=3,
+        batch_size=1,
+        execution="dense_flow",
+        compute_dtype="float32",
+        occupancy_fractions=(1.0, 1.0, 1.0),
+    )
+    params, stats = M.genmodel_init(jax.random.PRNGKey(0), cfg)
+    st = _surface_inputs(cfg)
+    full = FF.genmodel_apply_folded(
+        params, stats, cfg, st, num_refine_active=2, do_surf=True,
+    )
+    lite = FF.genmodel_apply_folded(
+        params, stats, cfg, st, num_refine_active=2, do_surf=True,
+        want_level_outputs=False,
+    )
+    assert all(o is None for o in lite.refine_outs)
+    assert all(m is None for m in lite.refine_masks_unfilt)
+    np.testing.assert_array_equal(
+        np.asarray(lite.surf_mask), np.asarray(full.surf_mask)
+    )
+    m = np.asarray(full.surf_mask)
+    assert m.any(), "degenerate fixture: empty surface"
+    np.testing.assert_allclose(
+        np.asarray(lite.surf_sdf)[m], np.asarray(full.surf_sdf)[m],
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lite.coarse_out), np.asarray(full.coarse_out),
+        rtol=1e-6, atol=1e-6,
+    )
