@@ -21,16 +21,72 @@ from sgnn_tpu.models import sgnn as M
 from sgnn_tpu.ops.sparse import make_sparse
 
 
+def _compact_dense_output(out, cfg, orig, want_levels: bool):
+    """On-device sparse extraction from a DenseFlowOutput (inside jit).
+
+    The dense grids of a mp-rooms-sized scene are ~70 MB; the surface
+    set the reference actually exports (test_scene.py:90-100) is a few
+    hundred KB. Compacting on device (fixed-capacity jnp.nonzero over the
+    masks) turns the device->host fetch from grid-sized to surface-sized.
+    `orig` is a traced int32[3] so one executable serves every scene in a
+    padded-shape bucket; the padding crop (test_scene.py:89-92) rides the
+    mask on device. Counts are returned so the host can detect capacity
+    overflow and fall back to the dense fetch.
+    """
+    caps = cfg.level_capacities
+
+    def compact(mask, cap, *grids):
+        flat = mask.reshape(-1)
+        (idx,) = jnp.nonzero(flat, size=cap, fill_value=0)
+        n = jnp.sum(flat, dtype=jnp.int32)
+        vals = tuple(g.reshape(-1, *g.shape[3:])[idx] for g in grids)
+        return (idx.astype(jnp.int32), n) + vals
+
+    Z, Y, X = cfg.input_dim
+    iz = jnp.arange(Z, dtype=jnp.int32)[:, None, None]
+    iy = jnp.arange(Y, dtype=jnp.int32)[None, :, None]
+    ix = jnp.arange(X, dtype=jnp.int32)[None, None, :]
+    crop = (iz < orig[0]) & (iy < orig[1]) & (ix < orig[2])
+    surf = compact(out.surf_mask[0] & crop, caps[-1],
+                   out.surf_sdf[0].astype(jnp.float32))
+    res = {"surf": surf, "coarse_out": out.coarse_out}
+    if want_levels:
+        # refine levels stay uncropped, matching the dense fetch path
+        res["levels"] = [
+            compact(mask[0], caps[1 + h], grid[0].astype(jnp.float32))
+            for h, (grid, mask) in enumerate(
+                zip(out.refine_outs, out.refine_masks_unfilt)
+            )
+        ]
+    return res
+
+
+def _decode_flat(idx, n, dims):
+    """Flat indices -> [n, 3] zyx int32 locs (host side)."""
+    idx = np.asarray(idx[:n]).astype(np.int64)
+    _, Y, X = dims
+    z, rem = idx // (Y * X), idx % (Y * X)
+    return np.stack([z, rem // X, rem % X], -1).astype(np.int32)
+
+
 class SceneInferencer:
-    def __init__(self, cfg_base: SGNNConfig, params, stats):
+    def __init__(self, cfg_base: SGNNConfig, params, stats,
+                 compact: bool = True, want_levels: bool = True):
         self.cfg_base = cfg_base
         self.params = params
         self.stats = stats
+        self.compact = compact and cfg_base.execution in (
+            "dense_flow", "folded"
+        )
+        self.want_levels = want_levels
         self._cache = {}
 
-    def _get_fn(self, dims: tuple[int, int, int]):
-        if dims not in self._cache:
+    def _get_fn(self, dims: tuple[int, int, int], compact=None):
+        compact = self.compact if compact is None else compact
+        key = (dims, compact)
+        if key not in self._cache:
             cfg = self.cfg_base.for_scene(dims)
+            want_levels = self.want_levels
             if cfg.execution in ("dense_flow", "folded") and (
                 jax.default_backend() == "tpu"
             ):
@@ -38,19 +94,27 @@ class SceneInferencer:
                 # the TPU fast path; needs the Mosaic compiler
                 from sgnn_tpu.models import folded_flow as FF
 
-                def fn(params, stats, locs, feats, num_valid):
+                def fn(params, stats, locs, feats, num_valid, orig):
                     st = make_sparse(
                         locs, feats, num_valid, cfg.input_dim, 1
                     )
-                    return FF.genmodel_apply_folded(
+                    out = FF.genmodel_apply_folded(
                         params, stats, cfg, st,
                         num_refine_active=cfg.num_refine_levels,
                         do_surf=True,
+                        # only-surface serving: skip materializing the
+                        # per-level raw head grids inside the kernels
+                        want_level_outputs=not compact or want_levels,
                     )
+                    if compact:
+                        return _compact_dense_output(
+                            out, cfg, orig, want_levels
+                        )
+                    return out
             elif cfg.execution in ("dense_flow", "folded"):
                 from sgnn_tpu.models import dense_flow as DF
 
-                def fn(params, stats, locs, feats, num_valid):
+                def fn(params, stats, locs, feats, num_valid, orig):
                     st = make_sparse(
                         locs, feats, num_valid, cfg.input_dim, 1
                     )
@@ -59,9 +123,14 @@ class SceneInferencer:
                         num_refine_active=cfg.num_refine_levels,
                         do_surf=True, training=False,
                     )
+                    if compact:
+                        return _compact_dense_output(
+                            out, cfg, orig, want_levels
+                        )
                     return out
             else:
-                def fn(params, stats, locs, feats, num_valid):
+                def fn(params, stats, locs, feats, num_valid, orig):
+                    del orig
                     st = make_sparse(
                         locs, feats, num_valid, cfg.input_dim, 1
                     )
@@ -72,15 +141,15 @@ class SceneInferencer:
                     )
                     return out
 
-            self._cache[dims] = (jax.jit(fn), cfg)
-        return self._cache[dims]
+            self._cache[key] = (jax.jit(fn), cfg)
+        return self._cache[key]
 
-    def __call__(self, sample: dict) -> dict:
-        """Run one scene sample (from SceneDataset scene mode).
+    def dispatch(self, sample: dict):
+        """Launch one scene's forward asynchronously.
 
-        Returns numpy dict: surf_locs [N,3] (zyx, padding removed by
-        orig_dims like test_scene.py:88-95), surf_sdf [N], per-level
-        outputs (locs, occ/sdf), input locs/vals (unpadded), names.
+        Returns a handle for collect(). Dispatch/collect pairs let a
+        driver overlap scene i+1's device compute with scene i's fetch +
+        host meshing (the scene->mesh pipeline in tools/test_scene.py).
         """
         dims = tuple(int(d) for d in sample["sdf"].shape)
         fn, cfg = self._get_fn(dims)
@@ -92,14 +161,86 @@ class SceneInferencer:
         locs[:n, 3] = 0
         feats = np.zeros((cap, 1), np.float32)
         feats[:n, 0] = sample["input_sdf"][:n]
-        out = fn(
-            self.params, self.stats, jnp.asarray(locs), jnp.asarray(feats),
-            jnp.int32(n),
-        )
-        out = jax.device_get(out)
         orig = np.asarray(sample["orig_dims"])
+        args = (
+            jnp.asarray(locs), jnp.asarray(feats), jnp.int32(n),
+            jnp.asarray(orig.astype(np.int32)),
+        )
+        out = fn(self.params, self.stats, *args)
+        return (sample, cfg, out, args, locs3, n, orig)
+
+    def collect(self, handle) -> dict:
+        """Fetch + postprocess a dispatched scene (blocks on the device)."""
+        sample, cfg, out, args, locs3, n, orig = handle
+        out = jax.device_get(out)
+        if isinstance(out, dict):  # compact on-device extraction
+            res = self._postprocess_compact(sample, cfg, out, locs3, n, orig)
+            if res is not None:
+                return res
+            # capacity overflow: redo with the dense-grid fetch
+            dims = tuple(int(d) for d in sample["sdf"].shape)
+            fn, _ = self._get_fn(dims, compact=False)
+            out = jax.device_get(fn(self.params, self.stats, *args))
         if cfg.execution in ("dense_flow", "folded"):
             return self._postprocess_dense(sample, out, orig, locs3, n)
+        return self._postprocess_sparse(sample, out, orig, locs3, n)
+
+    def __call__(self, sample: dict) -> dict:
+        """Run one scene sample (from SceneDataset scene mode).
+
+        Returns numpy dict: surf_locs [N,3] (zyx, padding removed by
+        orig_dims like test_scene.py:88-95), surf_sdf [N], per-level
+        outputs (locs, occ/sdf), input locs/vals (unpadded), names.
+        """
+        return self.collect(self.dispatch(sample))
+
+    def _postprocess_compact(self, sample, cfg, out, locs3, n, orig):
+        """Decode the compact fetch; None on capacity overflow."""
+        caps = cfg.level_capacities
+        sidx, sn, ssdf = out["surf"]
+        counts = [int(sn)]
+        lvl_caps = [caps[-1]]
+        if "levels" in out:
+            counts += [int(l[1]) for l in out["levels"]]
+            lvl_caps += caps[1:1 + len(out["levels"])]
+        if any(c > cap for c, cap in zip(counts, lvl_caps)):
+            import warnings
+
+            warnings.warn(
+                f"compact-output capacity overflow ({counts} vs {lvl_caps})"
+                f" at scene {sample['name']}; refetching dense grids"
+            )
+            return None
+        dims = cfg.input_dim
+        k = int(sn)
+        levels = [{"dense_out": np.asarray(out["coarse_out"])[0]}]
+        if "levels" in out:
+            for h, (idx, cnt, vals) in enumerate(out["levels"]):
+                f = 2 ** (cfg.num_refine_levels - 1 - h)
+                ldims = tuple(d // f for d in dims)
+                m = int(cnt)
+                levels.append({
+                    "locs": _decode_flat(idx, m, ldims),
+                    "out": np.asarray(vals[:m]),
+                })
+        in_locs = locs3[:n]
+        m = (
+            (in_locs[:, 0] < orig[0])
+            & (in_locs[:, 1] < orig[1])
+            & (in_locs[:, 2] < orig[2])
+        )
+        return {
+            "name": sample["name"],
+            "surf_locs": _decode_flat(sidx, k, dims),
+            "surf_sdf": np.asarray(ssdf[:k]),
+            "levels": levels,
+            "input_locs": in_locs[m],
+            "input_sdf": sample["input_sdf"][:n][m],
+            "orig_dims": orig,
+            "world2grid": sample["world2grid"],
+        }
+
+    def _postprocess_sparse(self, sample, out, orig, locs3, n):
 
         def unpad(locs_arr, num_valid, *vals):
             k = int(num_valid)

@@ -7,7 +7,11 @@ at conftest import time (pytest imports conftest before test modules).
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# SGNN_TESTS_TPU=1 keeps the real TPU backend for the @pytest.mark.tpu
+# compiled-vs-interpret parity suite (tests/test_tpu_parity.py):
+#   SGNN_TESTS_TPU=1 python -m pytest tests/test_tpu_parity.py -m tpu
+if not os.environ.get("SGNN_TESTS_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -25,7 +29,8 @@ if _ROOT not in sys.path:
 # initializes; otherwise each test op is a network round-trip.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("SGNN_TESTS_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

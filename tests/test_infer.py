@@ -87,6 +87,75 @@ def test_scene_inference_and_export(scene_dirs, tmp_path):
     assert any("input-mesh" in f for f in files)
 
 
+def test_compact_fetch_matches_dense(scene_dirs):
+    """The on-device compact extraction must reproduce the host-side
+    np.nonzero path exactly (locs sets, sdf values, level outputs)."""
+    import dataclasses
+
+    inp_dir, tgt_dir, dims = scene_dirs
+    ds = SceneDataset(
+        [os.path.join(inp_dir, "roomA.sdf")], 3.0, 3,
+        max_input_height=0, target_path=tgt_dir,
+    )
+    sample = ds[0]
+    # compact extraction only exists for the dense-grid executions
+    cfg = dataclasses.replace(CFG, execution="dense_flow")
+    params, stats = genmodel_init(jax.random.PRNGKey(1), cfg)
+    ref = SceneInferencer(cfg, params, stats, compact=False)(sample)
+    inf = SceneInferencer(cfg, params, stats, compact=True)
+    assert inf.compact, "compact path must engage for dense_flow"
+    got = inf(sample)
+    assert len(got["surf_locs"]) == len(ref["surf_locs"])
+    assert len(got["surf_locs"]) > 0  # non-degenerate fixture
+    # nonzero order == C order both ways
+    np.testing.assert_array_equal(got["surf_locs"], ref["surf_locs"])
+    np.testing.assert_allclose(got["surf_sdf"], ref["surf_sdf"], atol=1e-6)
+    assert len(got["levels"]) == len(ref["levels"])
+    np.testing.assert_allclose(
+        got["levels"][0]["dense_out"], ref["levels"][0]["dense_out"]
+    )
+    for g, r in zip(got["levels"][1:], ref["levels"][1:]):
+        np.testing.assert_array_equal(g["locs"], r["locs"])
+        np.testing.assert_allclose(g["out"], r["out"], atol=1e-6)
+    # want_levels=False drops the per-level fetch but keeps the surface
+    lite = SceneInferencer(
+        cfg, params, stats, compact=True, want_levels=False
+    )(sample)
+    np.testing.assert_array_equal(lite["surf_locs"], ref["surf_locs"])
+    assert len(lite["levels"]) == 1  # coarse only
+
+
+def test_compact_overflow_falls_back(scene_dirs):
+    """Capacity overflow in the compact fetch must refetch dense grids
+    and still return the exact result (plus a warning)."""
+    import dataclasses
+    import warnings
+
+    inp_dir, tgt_dir, dims = scene_dirs
+    ds = SceneDataset(
+        [os.path.join(inp_dir, "roomA.sdf")], 3.0, 3,
+        max_input_height=0, target_path=tgt_dir,
+    )
+    sample = ds[0]
+    cfg = dataclasses.replace(CFG, execution="dense_flow")
+    params, stats = genmodel_init(jax.random.PRNGKey(1), cfg)
+    ref = SceneInferencer(cfg, params, stats, compact=False)(sample)
+    # shrink the compact-fetch capacities so the surface set overflows,
+    # but keep the INPUT capacity intact (it defaults to the finest
+    # level capacity; truncating it would corrupt the model input)
+    tiny = dataclasses.replace(
+        cfg, occupancy_fractions=(0.0001, 0.0001, 0.0001),
+        input_capacity=cfg.for_scene(tuple(sample["sdf"].shape)).input_cap,
+    )
+    inf = SceneInferencer(tiny, params, stats, compact=True)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = inf(sample)
+    assert any("overflow" in str(x.message) for x in w)
+    np.testing.assert_array_equal(got["surf_locs"], ref["surf_locs"])
+    np.testing.assert_allclose(got["surf_sdf"], ref["surf_sdf"], atol=1e-6)
+
+
 def test_inferencer_caches_by_shape(scene_dirs):
     inp_dir, tgt_dir, _ = scene_dirs
     params, stats = genmodel_init(jax.random.PRNGKey(1), CFG)

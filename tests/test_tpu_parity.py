@@ -1,0 +1,283 @@
+"""Compiled-Mosaic vs interpret-mode parity for every folded Pallas
+kernel family, runnable on the attached TPU chip.
+
+The CPU test suite exercises these kernels in interpret mode only (the
+Mosaic compiler needs a TPU); this suite certifies that the COMPILED
+kernels agree with interpret mode on identical inputs — the durable
+answer to "compiled-vs-interpret equivalence rests on ad-hoc session
+scripts". Families covered (ops/pallas/conv3d_folded.py):
+
+  1. conv-site   fused_conv_folded          (f32 + int8)
+  2. upconv      fused_upconv_folded        (f32 + int8)
+  3. downconv    FO.downconv_fused          (f32, BN affine)
+  4. head        FO.head_site_fused / surf_head_fused
+  5. train conv  conv3d_3x3x3_folded fwd + custom-VJP grads
+plus a whole-model folded forward (bf16 and int8) that runs the
+production composition end to end.
+
+Run on the chip (minutes, mostly compile):
+  SGNN_TESTS_TPU=1 python -m pytest tests/test_tpu_parity.py -m tpu -q
+
+Off-TPU the suite skips (compiled == interpret is vacuous there).
+"""
+
+import contextlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import sgnn_tpu.ops.pallas.conv3d_folded as PC
+from sgnn_tpu.ops import folded as FO
+
+pytestmark = pytest.mark.tpu
+
+if jax.default_backend() != "tpu":  # pragma: no cover
+    pytest.skip(
+        "TPU parity suite needs the attached chip "
+        "(SGNN_TESTS_TPU=1, TPU backend)",
+        allow_module_level=True,
+    )
+
+
+@contextlib.contextmanager
+def _interpret_mode():
+    orig = PC.pl.pallas_call
+    PC.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        yield
+    finally:
+        PC.pl.pallas_call = orig
+
+
+def _both(fn):
+    """Run fn twice — compiled Mosaic, then interpret mode — and return
+    both results as numpy pytrees. fn must be a fresh closure (no jit
+    cache shared between the two calls)."""
+    compiled = jax.tree.map(np.asarray, fn())
+    with _interpret_mode():
+        interp = jax.tree.map(np.asarray, fn())
+    return compiled, interp
+
+
+def _assert_close(a, b, rtol, atol, msg=""):
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(
+            x, y, rtol=rtol, atol=atol, err_msg=msg
+        ),
+        a, b,
+    )
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(7)
+
+
+def _masked_grid(rng, B, Z, Y, X, c, mask):
+    return (rng.randn(B, Z, Y, X, c) * mask[..., None]).astype(np.float32)
+
+
+def _affine(rng, c, cpad):
+    a = np.zeros(cpad, np.float32)
+    b = np.zeros(cpad, np.float32)
+    a[:c] = rng.rand(c) + 0.5
+    b[:c] = rng.randn(c) * 0.1
+    return (
+        jnp.asarray(np.tile(a, FO.LANES // cpad)),
+        jnp.asarray(np.tile(b, FO.LANES // cpad)),
+    )
+
+
+@pytest.mark.parametrize("quantize", [False, True])
+def test_conv_site_parity(rng, quantize):
+    B, Z, Y, X, cpad = 1, 8, 16, 32, 16
+    widths = (16, 8)
+    mask = rng.rand(B, Z, Y, X) > 0.4
+    fm = FO.fold_mask(jnp.asarray(mask), cpad, jnp.float32)
+    xs = [FO.fold(jnp.asarray(_masked_grid(rng, B, Z, Y, X, c, mask)), cpad)
+          for c in widths]
+    ws = [jnp.asarray(rng.randn(27, c, 12).astype(np.float32) * 0.2)
+          for c in widths]
+    affines = [_affine(rng, c, cpad) for c in widths]
+
+    def run():
+        return PC.fused_conv_folded(
+            [x.data for x in xs], fm.data, ws, cpad,
+            affines=affines, relu=True, quantize=quantize,
+        )
+
+    got, ref = _both(run)
+    tol = 5e-2 if quantize else 1e-5
+    _assert_close(got, ref, tol, tol, f"conv-site quantize={quantize}")
+    assert np.abs(got).max() > 0, "degenerate fixture: all-zero output"
+
+
+@pytest.mark.parametrize("quantize", [False, True])
+def test_upconv_parity(rng, quantize):
+    B, Zc, Yc, Xc, cpad = 1, 4, 8, 16, 16
+    widths = (16, 8)
+    cmask = rng.rand(B, Zc, Yc, Xc) > 0.4
+    fmask = np.repeat(np.repeat(np.repeat(cmask, 2, 1), 2, 2), 2, 3)
+    fmask = fmask & (rng.rand(*fmask.shape) > 0.1)
+    cfm = FO.fold_mask(jnp.asarray(cmask), cpad, jnp.float32)
+    ffm = FO.fold_mask(jnp.asarray(fmask), cpad, jnp.float32)
+    xs = [FO.fold(jnp.asarray(_masked_grid(rng, B, Zc, Yc, Xc, c, cmask)),
+                  cpad) for c in widths]
+    ws = [jnp.asarray(rng.randn(27, c, 12).astype(np.float32) * 0.2)
+          for c in widths]
+    affines = [_affine(rng, c, cpad) for c in widths]
+
+    def run():
+        return PC.fused_upconv_folded(
+            [x.data for x in xs], cfm.data, ffm.data, ws, cpad,
+            affines=affines, relu=True, quantize=quantize,
+        )
+
+    got, ref = _both(run)
+    tol = 5e-2 if quantize else 1e-5
+    _assert_close(got, ref, tol, tol, f"upconv quantize={quantize}")
+    assert np.abs(got).max() > 0
+
+
+def test_downconv_parity(rng):
+    B, Z, Y, X, cpad = 1, 8, 16, 32, 16
+    c, cout = 16, 12
+    mask = rng.rand(B, Z, Y, X) > 0.4
+    fm = FO.fold_mask(jnp.asarray(mask), cpad, jnp.float32)
+    fg = FO.fold(jnp.asarray(_masked_grid(rng, B, Z, Y, X, c, mask)), cpad)
+    w8 = jnp.asarray(rng.randn(8, c, cout).astype(np.float32) * 0.3)
+    bn_p = {"scale": jnp.asarray(rng.rand(c).astype(np.float32) + 0.5),
+            "bias": jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)}
+    bn_s = {"mean": jnp.asarray(rng.randn(c).astype(np.float32) * 0.1),
+            "var": jnp.asarray(rng.rand(c).astype(np.float32) + 0.5)}
+
+    def run():
+        g, m = FO.downconv_fused(fg, fm, w8, cout,
+                                 bn_params=bn_p, bn_stats=bn_s)
+        return g.data, m.data
+
+    got, ref = _both(run)
+    _assert_close(got, ref, 1e-5, 1e-5, "downconv")
+    assert np.abs(got[0]).max() > 0
+
+
+def test_head_site_parity(rng):
+    B, Z, Y, X, cpad, c = 1, 8, 16, 32, 16, 10
+    mask = rng.rand(B, Z, Y, X) > 0.45
+    fm = FO.fold_mask(jnp.asarray(mask), cpad, jnp.float32)
+    up = FO.fold(jnp.asarray(_masked_grid(rng, B, Z, Y, X, c, mask)), cpad)
+    bn_p = {"scale": jnp.asarray(rng.rand(c).astype(np.float32) + 0.5),
+            "bias": jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)}
+    bn_s = {"mean": jnp.asarray(rng.randn(c).astype(np.float32) * 0.1),
+            "var": jnp.asarray(rng.rand(c).astype(np.float32) + 0.5)}
+    w2 = jnp.asarray(rng.randn(c, 2).astype(np.float32))
+    b2 = jnp.asarray(rng.randn(2).astype(np.float32))
+
+    def run():
+        upm, o2m, fmn, o2f = FO.head_site_fused(up, fm, bn_p, bn_s, w2, b2)
+        return upm.data, o2m.data, fmn.data, o2f.data
+
+    got, ref = _both(run)
+    _assert_close(got, ref, 1e-5, 1e-5, "head-site")
+    assert np.abs(got[3]).max() > 0
+
+
+def test_surf_head_parity(rng):
+    B, Z, Y, X, cpad = 1, 8, 16, 32, 16
+    cs = (6, 4)
+    mask = rng.rand(B, Z, Y, X) > 0.45
+    fm = FO.fold_mask(jnp.asarray(mask), cpad, jnp.float32)
+    groups = [FO.fold(jnp.asarray(_masked_grid(rng, B, Z, Y, X, c, mask)),
+                      cpad) for c in cs]
+    tot = sum(cs)
+    bn_p = {"scale": jnp.asarray(rng.rand(tot).astype(np.float32) + 0.5),
+            "bias": jnp.asarray(rng.randn(tot).astype(np.float32) * 0.1)}
+    bn_s = {"mean": jnp.asarray(rng.randn(tot).astype(np.float32) * 0.1),
+            "var": jnp.asarray(rng.rand(tot).astype(np.float32) + 0.5)}
+    W = jnp.asarray(rng.randn(tot, 1).astype(np.float32))
+    b = jnp.asarray(rng.randn(1).astype(np.float32))
+
+    def run():
+        return FO.surf_head_fused(groups, fm, bn_p, bn_s, W, b).data
+
+    got, ref = _both(run)
+    _assert_close(got, ref, 1e-5, 1e-5, "surf-head")
+    assert np.abs(got).max() > 0
+
+
+def test_train_conv_vjp_parity(rng):
+    """The training conv (custom VJP: Pallas fwd + Pallas dx) — value and
+    gradients must agree compiled vs interpret."""
+    B, Z, Y, X, c, cout, cpad = 1, 8, 8, 32, 10, 12, 16
+    mask = rng.rand(B, Z, Y, X) > 0.4
+    fm = FO.fold_mask(jnp.asarray(mask), cpad, jnp.float32)
+    d = _masked_grid(rng, B, Z, Y, X, c, mask)
+    fg = FO.fold(jnp.asarray(d), cpad)
+    w = jnp.asarray(rng.randn(27, c, cout).astype(np.float32) * 0.2)
+    cotf = FO.fold(
+        jnp.asarray(rng.randn(B, Z, Y, X, cout).astype(np.float32)), cpad
+    )
+
+    def run():
+        def loss(xd, ww):
+            out = FO.subm_conv_folded_train(
+                [FO.FGrid(xd, fg.dims, c, cpad)], fm, ww, cout
+            )
+            return jnp.sum(out.data * cotf.data.astype(out.data.dtype))
+
+        f = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+        v, (dx, dw) = f(fg.data, w)
+        return v, dx, dw
+
+    got, ref = _both(run)
+    _assert_close(got, ref, 1e-4, 1e-4, "train-conv vjp")
+    assert float(np.abs(got[2]).max()) > 0
+
+
+@pytest.mark.parametrize("int8", [False, True])
+def test_whole_model_parity(int8):
+    """Production folded forward end to end (all kernel families wired
+    together), compiled vs interpret, bf16 and int8."""
+    import dataclasses
+
+    import test_folded_model as TFM
+    from sgnn_tpu.config import SGNNConfig
+    from sgnn_tpu.models import folded_flow as FF
+    from sgnn_tpu.models import sgnn as M
+
+    cfg = SGNNConfig(
+        encoder_dim=8, input_dim=(32, 32, 64), nf_coarse=16, nf=16,
+        num_hierarchy_levels=3, batch_size=1, execution="folded",
+        compute_dtype="bfloat16", occupancy_fractions=(1.0, 0.5, 0.3),
+        use_pallas_conv=True,
+    )
+    if int8:
+        cfg = dataclasses.replace(cfg, quantize_int8=True)
+    params, stats = M.genmodel_init(jax.random.PRNGKey(1), cfg)
+    st = TFM._surface_inputs(cfg)
+
+    def run():
+        fwd = jax.jit(lambda p, s: FF.genmodel_apply_folded(
+            p, s, cfg, st, num_refine_active=cfg.num_refine_levels,
+            do_surf=True,
+        ))
+        out = fwd(params, stats)
+        return (out.coarse_out.astype(jnp.float32),
+                [o.astype(jnp.float32) for o in out.refine_outs],
+                out.surf_mask,
+                out.surf_sdf.astype(jnp.float32))
+
+    got, ref = _both(run)
+    # bf16 accumulation order differs compiled-vs-interpret; bound the
+    # deviation rather than demand bit equality
+    tol = 0.1 if int8 else 0.05
+    _assert_close(got[:2], ref[:2], tol, tol, f"model outs int8={int8}")
+    m_got, m_ref = got[2], ref[2]
+    agree = (m_got == m_ref).mean()
+    assert agree > 0.999, f"surf masks diverge: {agree:.4f}"
+    assert m_got.sum() > 0, "degenerate: empty surface"
+    both = m_got & m_ref
+    np.testing.assert_allclose(got[3][both], ref[3][both],
+                               rtol=tol, atol=tol)

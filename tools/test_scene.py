@@ -135,43 +135,88 @@ def main():
         dim_round=args.dim_round,
     )
     os.makedirs(args.output, exist_ok=True)
-    inferencer = SceneInferencer(cfg, params, stats)
+    # The reference discards the per-level outputs at save time
+    # (test_scene.py:96-100 only exports inputs + surface SDF);
+    # want_levels=False skips fetching them entirely.
+    inferencer = SceneInferencer(cfg, params, stats, want_levels=False)
+    stats_out = run_pipeline(inferencer, ds, args.output, args.truncation)
+    times = stats_out["scene_times"]
+    if len(times) > 1:
+        print(f"\ndone; mean scene->mesh time {np.mean(times[1:]):.3f}s "
+              f"(excl. first/compile)")
+    elif times:
+        print(f"\ndone; scene->mesh time {times[0]:.3f}s (incl. compile)")
+    else:
+        print("\ndone")
+
+
+def run_pipeline(inferencer, ds, output, truncation, max_scenes=None,
+                 save=True):
+    """Scene->mesh pipeline: overlap scene i+1's device forward with
+    scene i's fetch + host meshing (marching cubes + weld + PLY run in a
+    worker thread; the native MC core releases the GIL).
+
+    Matches the reference loop's work (test_scene.py:59-103 + the MC
+    export at data_util.py:250-284) but pipelined: while the device runs
+    scene i+1, the host fetches and meshes scene i.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sgnn_tpu.meshing.export import save_predictions
+
+    n_total = len(ds) if max_scenes is None else min(len(ds), max_scenes)
     times = []
-    for i in range(len(ds)):
-        sample = ds[i]
-        dims = sample["sdf"].shape
-        sys.stdout.write(
-            f"\r[ {i} | {len(ds)} ] {sample['name']} "
-            f"({dims[0]}, {dims[1]}, {dims[2]})    "
-        )
-        sys.stdout.flush()
-        try:
-            t0 = time.time()
-            result = inferencer(sample)
-            times.append(time.time() - t0)
-        except Exception as e:  # skip-and-continue (test_scene.py:79-86)
-            print(f"\nexception at {sample['name']}: {e}")
-            continue
-        pred_occs = [None] * args.num_hierarchy_levels
-        for h, lvl in enumerate(result["levels"]):
-            if "locs" in lvl:
-                occ_mask = 1.0 / (1.0 + np.exp(-lvl["out"][:, 0])) > 0.5
-                pred_occs[h] = lvl["locs"][occ_mask]
+    mesh_futs = []
+
+    def mesh_one(result):
+        if not save:
+            return result["name"]
         save_predictions(
-            args.output, result["name"],
+            output, result["name"],
             result["input_locs"], result["input_sdf"],
             tuple(int(d) for d in result["orig_dims"]),
             target_for_sdf=None, target_for_occs=None,
             pred_surf=(result["surf_locs"], result["surf_sdf"]),
             pred_occ_locs=None,
-            truncation=args.truncation,
+            truncation=truncation,
         )
-    if len(times) > 1:
-        print(f"\ndone; mean inference time {np.mean(times[1:]):.3f}s "
-              f"(excl. first/compile)")
-    else:
-        print(f"\ndone; inference time {times[0]:.3f}s (incl. compile)"
-              if times else "\ndone")
+        return result["name"]
+
+    pool = ThreadPoolExecutor(max_workers=2)
+    pending = None  # (t0, handle) of the scene in flight
+    skipped = 0
+    try:
+        for i in range(n_total + 1):
+            handle = None
+            if i < n_total:
+                sample = ds[i]
+                dims = sample["sdf"].shape
+                sys.stdout.write(
+                    f"\r[ {i} | {n_total} ] {sample['name']} "
+                    f"({dims[0]}, {dims[1]}, {dims[2]})    "
+                )
+                sys.stdout.flush()
+                try:
+                    handle = (time.time(), inferencer.dispatch(sample))
+                except Exception as e:  # skip-and-continue
+                    print(f"\nexception at {sample['name']}: {e}")
+                    skipped += 1
+            if pending is not None:
+                t0, h = pending
+                try:
+                    result = inferencer.collect(h)
+                    mesh_futs.append(pool.submit(mesh_one, result))
+                    times.append(time.time() - t0)
+                except Exception as e:
+                    print(f"\nexception at {h[0]['name']}: {e}")
+                    skipped += 1
+            pending = handle
+        for f in mesh_futs:
+            f.result()  # surface meshing exceptions
+    finally:
+        pool.shutdown(wait=True)
+    return {"scene_times": times, "num_meshed": len(mesh_futs),
+            "skipped": skipped}
 
 
 if __name__ == "__main__":
