@@ -86,6 +86,7 @@ def _unet(params, stats, fg, fm, q=False, ex=lambda g: g,
     down, down_fm = FO.downconv_fused(
         x, fm, params["down_conv"], params["down_conv"].shape[-1],
         bn_params=params["down_bn"], bn_stats=stats["down_bn"],
+        quantize=q,
     )
     down_fm = exm(down_fm)
     deep = _unet(params["deeper"], stats["deeper"], down, down_fm, q=q,
@@ -109,7 +110,7 @@ def _encoder_layer(params, stats, groups, fm, cpad_out=None, q=False,
     # budget across the stride when level 0 runs at cpad 8)
     down, down_fm = FO.downconv_fused(y, fm, params["p3"],
                                       params["p3"].shape[-1],
-                                      cpad_out=cpad_out)
+                                      cpad_out=cpad_out, quantize=q)
     down_fm = exm(down_fm)
     z = _bn_groups(params["p3_bn"], stats["p3_bn"], [down], down_fm)[0]
     return z, down_fm, (y, fm)

@@ -627,7 +627,8 @@ def downconv_fused(fg: FGrid, fm: FGrid, w8: jax.Array, cout: int, *,
                    bn_params: dict | None = None,
                    bn_stats: dict | None = None, relu: bool = True,
                    eps: float = 1e-4,
-                   cpad_out: int | None = None) -> tuple[FGrid, FGrid]:
+                   cpad_out: int | None = None,
+                   quantize: bool = False) -> tuple[FGrid, FGrid]:
     """Fused stride-2 down site: [optional eval-BN + ReLU + fine mask] ->
     2^3 stride-2 conv -> coarse-mask (maxpool2, same pass) -> masked
     halo'd coarse FGrid + coarse mask FGrid, ONE Pallas kernel
@@ -649,7 +650,7 @@ def downconv_fused(fg: FGrid, fm: FGrid, w8: jax.Array, cout: int, *,
         affine = (jnp.tile(a, F), jnp.tile(b, F))
     out, mout = fused_downconv_folded(
         fg.data, fm.data, w8[:, :fg.real_c, :], cpad,
-        affine=affine, relu=relu, cpad_out=cpad_out,
+        affine=affine, relu=relu, cpad_out=cpad_out, quantize=quantize,
     )
     co = cpad_out or cpad
     Z, Y, X = fg.dims

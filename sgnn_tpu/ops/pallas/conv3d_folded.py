@@ -1090,11 +1090,18 @@ def fused_upconv_folded(
 
 
 def _kernel_downconv(*refs, tzc, tyc, xqf, xqc, relu, has_affine,
-                     cross, acc_dtype):
-    (x_ref, fmask_ref, w_ref, md_ref, ab_ref,
-     out_ref, mout_ref) = refs[:7]
+                     cross, acc_dtype, quant=False):
+    if quant:
+        (x_ref, fmask_ref, w_ref, md_ref, ab_ref, ws_ref,
+         out_ref, mout_ref) = refs[:8]
+        rest = refs[8:]
+    else:
+        (x_ref, fmask_ref, w_ref, md_ref, ab_ref,
+         out_ref, mout_ref) = refs[:7]
+        ws_ref = None
+        rest = refs[7:]
     (tbuf, obuf, mobuf, zb_z, zb_y, zb_c,
-     in_sems, out_sems, ring_sems) = refs[7:]
+     in_sems, out_sems, ring_sems) = rest
 
     nz = pl.num_programs(1)
     ny = pl.num_programs(2)
@@ -1150,13 +1157,25 @@ def _kernel_downconv(*refs, tzc, tyc, xqf, xqc, relu, has_affine,
         tf = t.astype(jnp.float32) * ab_ref[0] + ab_ref[1]
         if relu:
             tf = jnp.maximum(tf, 0.0)
-        t = (tf * mt.astype(jnp.float32)).astype(t.dtype)
+        tf = tf * mt.astype(jnp.float32)
+        t = tf.astype(t.dtype)
+    elif quant:
+        tf = t.astype(jnp.float32)
+    if quant:
+        # same scheme as _kernel_fused: dynamic per-tile symmetric
+        # activation scale x static per-column weight scales (ws_ref)
+        amax = jnp.max(jnp.abs(tf))
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        t = jnp.clip(
+            jnp.round(tf * (1.0 / scale)), -127.0, 127.0
+        ).astype(jnp.int8)
     # cross mode (cpad widening): one fine block maps onto one coarse
     # block, so rows keep the 128-lane width and blocks map 1:1
     lw = LANES if cross else 2 * LANES
     nb = xqf if cross else xqf // 2
     rows_c = tzc * tyc * nb
-    acc = jnp.zeros((rows_c, LANES), acc_dtype)
+    acc = jnp.zeros((rows_c, LANES),
+                    jnp.int32 if quant else acc_dtype)
     macc = jnp.zeros((rows_c, LANES), acc_dtype)
     # parity reads via reshape + static index (a [dz::2] strided slice
     # lowers to a >2D gather Mosaic rejects; this is plain slicing)
@@ -1166,12 +1185,15 @@ def _kernel_downconv(*refs, tzc, tyc, xqf, xqc, relu, has_affine,
         for dy in range(2):
             lhs = t4[:, dz, :, dy].reshape(rows_c, lw)
             acc = acc + jnp.dot(
-                lhs, w_ref[dz, dy], preferred_element_type=acc_dtype
+                lhs, w_ref[dz, dy],
+                preferred_element_type=jnp.int32 if quant else acc_dtype,
             )
             mlhs = mt4[:, dz, :, dy].reshape(rows_c, lw)
             macc = macc + jnp.dot(
                 mlhs, md_ref[0], preferred_element_type=acc_dtype
             )
+    if quant:
+        acc = acc.astype(jnp.float32) * (scale * ws_ref[0])
     mcoarse = jnp.minimum(macc, 1.0)
     res = (acc * mcoarse).astype(out_ref.dtype)
     mres = mcoarse.astype(mout_ref.dtype)
@@ -1263,12 +1285,15 @@ def fused_downconv_folded(
     affine: tuple | None = None,  # (scale[128], bias[128]) f32
     relu: bool = True,
     cpad_out: int | None = None,  # widen the lane budget across the stride
+    quantize: bool = False,  # int8 GEMMs (same scheme as fused_conv_folded)
 ) -> tuple[jax.Array, jax.Array]:
     """Stride-2 2^3 conv site -> (coarse masked halo'd grid, coarse mask),
     both [B, Zf/2+2, Yf/2+2, xqc, 128]. coarse mask = maxpool2(fine mask);
     the input affine (optional) applies eval-BN + ReLU + fine mask first.
     With ``cpad_out == 2 * cpad`` the output is emitted at the wider lane
     budget directly (one fine block -> one coarse block, no pair merge).
+    ``quantize``: int8 conv GEMMs (dynamic per-tile activation scale,
+    static per-column weight scales); the mask-down GEMM stays exact.
     """
     from sgnn_tpu.ops.folded import (
         _mask_down_cross, _mask_down_matrix, _strided_w, _strided_w_cross,
@@ -1299,6 +1324,14 @@ def fused_downconv_folded(
                         affine[1].astype(jnp.float32)])
     else:
         ab = jnp.zeros((2, LANES), jnp.float32)
+    if quantize:
+        amax = jnp.max(jnp.abs(W.astype(jnp.float32)), axis=(0, 1, 2))
+        ws = (jnp.maximum(amax, 1e-8) / 127.0)[None]  # [1, 128]
+        W = jnp.clip(
+            jnp.round(W.astype(jnp.float32) * (1.0 / ws[0])), -127.0, 127.0
+        ).astype(jnp.int8)
+    else:
+        ws = None
 
     # tile sizes: fine tiles are 4x the coarse tile footprint
     best = (1, 1)
@@ -1311,6 +1344,8 @@ def fused_downconv_folded(
             Tf = 4 * tzc * tyc * xqf * LANES
             Rc = tzc * tyc * xqc * LANES
             cost = 2 * 2 * Tf * 2 + 4 * Rc * 2 + Tf * (4 + 2) + 2 * Rc * 4
+            if quantize:
+                cost += Tf * (4 + 1) + 4 * Rc  # f32+int8 copies, i32 acc
             if cost <= 11_000_000 and tzc * tyc > best[0] * best[1]:
                 best = (tzc, tyc)
     tzc, tyc = best
@@ -1318,8 +1353,17 @@ def fused_downconv_folded(
     kernel = functools.partial(
         _kernel_downconv, tzc=tzc, tyc=tyc, xqf=xqf, xqc=xqc,
         relu=relu, has_affine=has_affine, cross=cross,
-        acc_dtype=jnp.float32,
+        acc_dtype=jnp.float32, quant=quantize,
     )
+    w_operands = [W, MD, ab]
+    w_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # W
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # MD
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # ab
+    ]
+    if quantize:
+        w_operands.append(ws)
+        w_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # ws
     out_shape = jax.ShapeDtypeStruct((B, Zc + 2, Yc + 2, xqc, LANES), dt)
     return pl.pallas_call(
         kernel,
@@ -1327,10 +1371,7 @@ def fused_downconv_folded(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # x
             pl.BlockSpec(memory_space=pl.ANY),      # fmask
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # W
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # MD
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ab
-        ],
+        ] + w_specs,
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)),
         out_shape=(out_shape, out_shape),
@@ -1345,7 +1386,7 @@ def fused_downconv_folded(
             pltpu.SemaphoreType.DMA((2, 2)),                       # out
             pltpu.SemaphoreType.DMA((16,)),                        # rings
         ],
-    )(x, fmask, W, MD, ab)
+    )(x, fmask, *w_operands)
 
 
 # ------------------------------------------------------- fused head site (v3)

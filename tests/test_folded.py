@@ -576,3 +576,50 @@ def test_fused_conv_int8_interpret(rng):
         assert cc > 0.999
     finally:
         PC.pl.pallas_call = orig
+
+
+def test_fused_downconv_int8_interpret(rng):
+    """int8 quantized downconv vs the exact fused path: small relative
+    error; the coarse mask must be bit-identical (mask GEMM stays exact)."""
+    import jax.numpy as jnp
+
+    import sgnn_tpu.ops.pallas.conv3d_folded as PC
+    from sgnn_tpu.ops import folded as FO
+
+    orig = PC.pl.pallas_call
+    PC.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        B, Z, Y, X = 1, 8, 16, 16
+        cpad, c, cout = 16, 16, 12
+        mask_dense = rng.rand(B, Z, Y, X) > 0.4
+        fm = FO.fold_mask(jnp.asarray(mask_dense), cpad, jnp.float32)
+        d = (rng.randn(B, Z, Y, X, c) * mask_dense[..., None]).astype(
+            np.float32)
+        fg = FO.fold(jnp.asarray(d), cpad)
+        w8 = jnp.asarray(rng.randn(8, c, cout).astype(np.float32) * 0.3)
+        bn_p = {"scale": jnp.asarray(rng.rand(c).astype(np.float32) + 0.5),
+                "bias": jnp.asarray(rng.randn(c).astype(np.float32) * 0.1)}
+        bn_s = {"mean": jnp.asarray(rng.randn(c).astype(np.float32) * 0.1),
+                "var": jnp.asarray(rng.rand(c).astype(np.float32) + 0.5)}
+        for cpad_out in (None, 2 * cpad):
+            ex_g, ex_m = FO.downconv_fused(
+                fg, fm, w8, cout, bn_params=bn_p, bn_stats=bn_s,
+                cpad_out=cpad_out,
+            )
+            q_g, q_m = FO.downconv_fused(
+                fg, fm, w8, cout, bn_params=bn_p, bn_stats=bn_s,
+                cpad_out=cpad_out, quantize=True,
+            )
+            exact = np.asarray(FO.unfold(ex_g))
+            q = np.asarray(FO.unfold(q_g))
+            assert np.abs(exact).max() > 0
+            scale = np.abs(exact).max()
+            rel = np.abs(q - exact).max() / scale
+            assert rel < 0.02, (rel, cpad_out)
+            cc = np.corrcoef(exact.ravel(), q.ravel())[0, 1]
+            assert cc > 0.999, (cc, cpad_out)
+            np.testing.assert_array_equal(
+                np.asarray(ex_m.data), np.asarray(q_m.data)
+            )
+    finally:
+        PC.pl.pallas_call = orig

@@ -141,7 +141,8 @@ def test_upconv_parity(rng, quantize):
     assert np.abs(got).max() > 0
 
 
-def test_downconv_parity(rng):
+@pytest.mark.parametrize("quantize", [False, True])
+def test_downconv_parity(rng, quantize):
     B, Z, Y, X, cpad = 1, 8, 16, 32, 16
     c, cout = 16, 12
     mask = rng.rand(B, Z, Y, X) > 0.4
@@ -155,11 +156,13 @@ def test_downconv_parity(rng):
 
     def run():
         g, m = FO.downconv_fused(fg, fm, w8, cout,
-                                 bn_params=bn_p, bn_stats=bn_s)
+                                 bn_params=bn_p, bn_stats=bn_s,
+                                 quantize=quantize)
         return g.data, m.data
 
     got, ref = _both(run)
-    _assert_close(got, ref, 1e-5, 1e-5, "downconv")
+    tol = 5e-2 if quantize else 1e-5
+    _assert_close(got, ref, tol, tol, f"downconv quantize={quantize}")
     assert np.abs(got[0]).max() > 0
 
 
@@ -177,7 +180,9 @@ def test_head_site_parity(rng):
 
     def run():
         upm, o2m, fmn, o2f = FO.head_site_fused(up, fm, bn_p, bn_s, w2, b2)
-        return upm.data, o2m.data, fmn.data, o2f.data
+        # the raw f32 grid's halo ring is unspecified by contract (it is
+        # only ever unfolded, which slices the interior) — compare interior
+        return upm.data, o2m.data, fmn.data, o2f.data[:, 1:-1, 1:-1]
 
     got, ref = _both(run)
     _assert_close(got, ref, 1e-5, 1e-5, "head-site")
@@ -200,7 +205,10 @@ def test_surf_head_parity(rng):
     b = jnp.asarray(rng.randn(1).astype(np.float32))
 
     def run():
-        return FO.surf_head_fused(groups, fm, bn_p, bn_s, W, b).data
+        # raw f32 output: halo ring unspecified (see head-site test)
+        return FO.surf_head_fused(
+            groups, fm, bn_p, bn_s, W, b
+        ).data[:, 1:-1, 1:-1]
 
     got, ref = _both(run)
     _assert_close(got, ref, 1e-5, 1e-5, "surf-head")

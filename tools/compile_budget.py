@@ -25,6 +25,8 @@ import json
 import os
 import sys
 
+import numpy as np
+
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
@@ -52,12 +54,39 @@ def count_pallas(jaxpr, counter):
                         count_pallas(s.jaxpr, counter)
 
 
+def bucket_report(dims_list):
+    """For a scene-dims population, report the executable count and pad
+    overhead per dim_round choice. Compile budget = buckets x one
+    compile (measured: ~119 s warm .jax_cache / ~909 s cold at headline
+    dims through this box's tunnel)."""
+    dims = np.asarray(dims_list, np.int64)
+    print(f"\n# dim_round buckets over {len(dims)} scenes")
+    print(f"{'round':>6} {'buckets':>8} {'pad overhead':>13}")
+    for r in (32, 64, 96, 128):
+        padded = ((dims + r - 1) // r) * r
+        buckets = {tuple(p) for p in padded}
+        over = padded.prod(1).sum() / dims.prod(1).sum() - 1.0
+        print(f"{r:>6} {len(buckets):>8} {over:>12.1%}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dims", type=int, nargs=3, default=[96, 192, 192])
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--full_outputs", action="store_true")
+    ap.add_argument("--scene_dims_file", default="",
+                    help="file of 'Z Y X' lines: print the dim_round "
+                         "bucket/pad tradeoff for that population")
     args = ap.parse_args()
+
+    if args.scene_dims_file:
+        dims_list = [
+            [int(t) for t in ln.split()[:3]]
+            for ln in open(args.scene_dims_file)
+            if ln.strip()
+        ]
+        bucket_report(dims_list)
+        return
 
     import jax
     import jax.numpy as jnp
