@@ -79,6 +79,9 @@ def main():
         occupancy_fractions=FRACTIONS, execution=execution,
         compute_dtype=dtype, use_pallas_conv=use_pallas,
         quantize_int8=bool(os.environ.get("SGNN_BENCH_INT8")),
+        # _synthetic_sparse_input emits np.nonzero C-order rows, so the
+        # binned input scatter skips its device sort
+        input_presorted=True,
     )
     params, stats = M.genmodel_init(jax.random.PRNGKey(0), cfg)
     locs, feats, num = _synthetic_sparse_input(cfg)

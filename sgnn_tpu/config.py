@@ -56,6 +56,10 @@ class SGNNConfig:
     # the kernel's fixed costs (fold reshape/pad at the XLA boundary, DMA
     # setup) outweigh its GEMM win (measured: tools/bench_kernel.py)
     pallas_min_voxels: int = 1_000_000
+    # input rows arrive in (b, z, y, x) C-order with padding at the tail
+    # (true for np.nonzero-derived dataset rows): lets the binned Pallas
+    # input scatter skip its device sort (ops/pallas/scatter_folded.py)
+    input_presorted: bool = False
 
     def __post_init__(self):
         assert self.num_hierarchy_levels > 1, "must be > 1 (train.py:61)"

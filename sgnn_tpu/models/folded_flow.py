@@ -75,12 +75,17 @@ def _resblock(params, stats, fg, fm, q=False, ex=lambda g: g):
 
 
 def _unet(params, stats, fg, fm, q=False, ex=lambda g: g,
-          exm=lambda g: g):
+          exm=lambda g: g, defer=False):
     """FullyConvolutionalNet (reps=1, residual); returns GROUPS (the
-    virtual concat of pyramid levels) + the same fm."""
+    virtual concat of pyramid levels) + the same fm.
+
+    ``defer=True`` returns (FGrid, scale) pairs at NATIVE resolutions
+    (scale = remaining NN-upsample factor) for consumers that read
+    coarse groups directly (surf_head_packed) — the upsampled grids are
+    never materialized. Default materializes via upsample2_folded."""
     x = _resblock(params["block"], stats["block"], fg, fm, q=q, ex=ex)
     if "deeper" not in params:
-        return [x]
+        return [(x, 1)] if defer else [x]
     # down path: BN + stride-2 conv + mask-down as ONE fused kernel
     # (consumes interior rows only — no exchange needed)
     down, down_fm = FO.downconv_fused(
@@ -90,7 +95,9 @@ def _unet(params, stats, fg, fm, q=False, ex=lambda g: g,
     )
     down_fm = exm(down_fm)
     deep = _unet(params["deeper"], stats["deeper"], down, down_fm, q=q,
-                 ex=ex, exm=exm)
+                 ex=ex, exm=exm, defer=defer)
+    if defer:
+        return [(x, 1), *[(d, 2 * s) for d, s in deep]]
     # NO mask multiply on the upsampled groups: every consumer (upconv /
     # head / downstream conv sites) applies the level mask in-kernel with
     # its input affine, and garbage can only sit at fine sites whose
@@ -167,6 +174,7 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
         fg, fm = FO.scatter_sparse(
             st.locs, st.feats, st.num_valid, st.spatial_size, B,
             cpad=cpad0, dtype=dt, feat_bound=cfg.truncation,
+            presorted=bool(getattr(cfg, "input_presorted", False)),
         )
     fm = exm(fm)
 
@@ -274,8 +282,19 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
             cur = [*cur, sk.with_data(sk.data * cur_fm.data)]
         z = FO.subm_conv_fused([ex(g) for g in cur], cur_fm, p["p1"],
                                p["p1"].shape[-1], quantize=q8)
-        zg = _unet(p["p2"], st_s["p2"], z, cur_fm, q=q8, ex=ex, exm=exm)
-        if os.environ.get("SGNN_NO_HEADK"):
+        use_pack = not (os.environ.get("SGNN_NO_HEADK")
+                        or os.environ.get("SGNN_NO_SURFPACK"))
+        zg = _unet(p["p2"], st_s["p2"], z, cur_fm, q=q8, ex=ex, exm=exm,
+                   defer=use_pack)
+        if use_pack:
+            # multi-scale packed head: per-group GEMMs at native res,
+            # in-kernel NN expansion + channel packing — no full-res
+            # upsampled groups, no 128-lane f32 grid, no unfold
+            surf, surf_mask = FO.surf_head_packed(
+                zg, cur_fm, p["p3"], st_s["p3"],
+                p["linear"]["weight"], p["linear"]["bias"],
+            )
+        elif os.environ.get("SGNN_NO_HEADK"):
             zg = _bn_groups(p["p3"], st_s["p3"], zg, cur_fm)
             surf_fg = None
             off = 0
@@ -302,8 +321,9 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
                 zg, cur_fm, p["p3"], st_s["p3"],
                 p["linear"]["weight"], p["linear"]["bias"],
             )
-        surf = FO.unfold(surf_fg)[..., 0]
-        surf_mask = FO.unfold(cur_fm)[..., 0] > 0.5
+        if not use_pack:
+            surf = FO.unfold(surf_fg)[..., 0]
+            surf_mask = FO.unfold(cur_fm)[..., 0] > 0.5
     else:
         surf = jnp.zeros((B, Z, Y, X), jnp.float32)
         surf_mask = jnp.zeros((B, Z, Y, X), jnp.bool_)

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from functools import lru_cache, partial
 
 import jax
@@ -108,12 +109,21 @@ def fold(dense: jax.Array, cpad: int = 16) -> FGrid:
 
 
 def unfold(fg: FGrid) -> jax.Array:
-    """FGrid -> [B, Z, Y, X, real_c]."""
+    """FGrid -> [B, Z, Y, X, real_c].
+
+    Order matters: the lane split (xq, 128) -> (xq*F, cpad) is a
+    contiguous trailing-dim reshape — a free bitcast on the FULL array —
+    so reshaping FIRST leaves ONE strided slice that XLA lowers as a
+    single gather of the live bytes. Slicing first (the naive order)
+    materializes the interior copy at full 128-lane width before the
+    lane extraction: ~16x the HBM traffic at real_c=1 (measured 2.2 ms
+    -> ~0.3 ms per forward on the surf/mask unfolds, BENCH_NOTES r3).
+    """
     Z, Y, X = fg.dims
     B = fg.batch
-    d = fg.data[:, 1:Z + 1, 1:Y + 1, :fg.xb]
-    d = d.reshape(B, Z, Y, fg.xb * fg.fold, fg.cpad)
-    return d[:, :, :, :X, :fg.real_c]
+    Zp, Yp = fg.data.shape[1], fg.data.shape[2]
+    d = fg.data.reshape(B, Zp, Yp, fg.data.shape[3] * fg.fold, fg.cpad)
+    return d[:, 1:Z + 1, 1:Y + 1, :X, :fg.real_c]
 
 
 def fold_mask(mask: jax.Array, cpad: int = 16, dtype=jnp.bfloat16) -> FGrid:
@@ -133,6 +143,7 @@ def scatter_sparse(
     cpad: int = 16,
     dtype=jnp.bfloat16,
     feat_bound: float | None = None,
+    presorted: bool = False,
 ) -> tuple[FGrid, FGrid]:
     """Sparse rows -> (feature FGrid, mask FGrid), the input boundary of
     the folded execution (replaces sparse_to_dense + fold; the reference's
@@ -145,6 +156,12 @@ def scatter_sparse(
     voxels are strictly positive and the f32 bias round-trip loses only
     ulp(K)/2 ~ 5e-7); the mask is decoded by sign and the bias removed in
     one cheap grid pass. Without ``feat_bound``: two scatters (exact).
+
+    On TPU that single scatter runs as the binned Pallas kernel
+    (ops/pallas/scatter_folded.py) — MXU one-hot contractions instead of
+    XLA's ~35 ns/update lowering. ``presorted=True`` asserts rows are
+    already in (b, z, y, x) C-order with all padding at the tail
+    (np.nonzero-derived dataset rows), skipping the device sort.
     """
     Z, Y, X = dims
     F = LANES // cpad
@@ -180,10 +197,25 @@ def scatter_sparse(
                   + x)
         base_s = jnp.where(valid, base_s, jnp.int32(-(1 << 30)))
         nsmall = B * (Z + 2) * (Y + 2) * xq * F
-        enc = jnp.zeros((nsmall,), jnp.float32).at[base_s].set(
-            feats[:, 0].astype(jnp.float32) + K,
-            mode="drop", unique_indices=True,
-        ).reshape(B, Z + 2, Y + 2, xq, F)
+        from sgnn_tpu.ops.pallas.scatter_folded import (
+            scatter_slots_folded, supported_scatter,
+        )
+
+        use_kernel = (
+            jax.default_backend() == "tpu"
+            and not os.environ.get("SGNN_NO_SCATTERK")
+            and supported_scatter(Z + 2, Y + 2, xq, F)
+        )
+        if use_kernel:
+            enc = scatter_slots_folded(
+                base_s, feats[:, 0].astype(jnp.float32) + K,
+                B * (Z + 2), (Y + 2) * xq * F, presorted=presorted,
+            ).reshape(B, Z + 2, Y + 2, xq, F)
+        else:
+            enc = jnp.zeros((nsmall,), jnp.float32).at[base_s].set(
+                feats[:, 0].astype(jnp.float32) + K,
+                mode="drop", unique_indices=True,
+            ).reshape(B, Z + 2, Y + 2, xq, F)
         occ = enc > 0
         small = (enc - K * occ).astype(dtype)
         ms = occ.astype(dtype)
@@ -834,6 +866,56 @@ def surf_head_fused(groups: list, fm: FGrid, bn_params: dict,
         gate=False,
     )
     return FGrid(out, groups[0].dims, 1, cpad)
+
+
+def surf_head_packed(groups: list, fm: FGrid, bn_params: dict,
+                     bn_stats: dict, W: jax.Array, bias: jax.Array, *,
+                     eps: float = 1e-4
+                     ) -> tuple[jax.Array, jax.Array]:
+    """Multi-scale fused surface tail -> slot-packed dense outputs.
+
+    ``groups`` is a list of (FGrid, scale) pairs — the unet pyramid at
+    NATIVE resolutions (scale = NN-upsample factor to full res; the
+    deferred form of _unet, models/folded_flow.py). Returns
+    (sdf [B, Z, Y, X] f32 raw head values, surf_mask [B, Z, Y, X] bool):
+    the per-group head GEMM runs on the coarse rows and the upsampled
+    grids are never materialized; channel packing happens in-kernel, so
+    no 128-lane full-res f32 grid ever hits HBM (the composed path's
+    largest write). Bitwise-equal to
+    [upsample2_folded* -> surf_head_fused -> unfold]. Reference:
+    SurfacePrediction head, /root/reference/torch/model.py:257,270.
+    """
+    from sgnn_tpu.ops.pallas.conv3d_folded import fused_surf_head_packed
+
+    cpad = groups[0][0].cpad
+    F = LANES // cpad
+    Z, Y, X = groups[0][0].dims
+    assert groups[0][1] == 1
+    affines, tiles = [], []
+    off = 0
+    for g, s in groups:
+        c = g.real_c
+        assert g.cpad == cpad
+        affines.append(_eval_affine(bn_params, bn_stats, c, cpad, off=off,
+                                    eps=eps))
+        tiles.append(_linear_tile(W[off:off + c], cpad, 1))
+        off += c
+    assert off == W.shape[0]
+    bl = jnp.zeros((cpad,), jnp.float32).at[:1].set(
+        bias.astype(jnp.float32)
+    )
+    bt = jnp.tile(bl, F)
+    sdfp, mskp = fused_surf_head_packed(
+        [g.data for g, _ in groups], tuple(s for _, s in groups),
+        fm.data,
+        jnp.stack(tiles).astype(groups[0][0].data.dtype), bt, cpad,
+        affines=jnp.stack([jnp.stack([a for a, _ in affines]),
+                           jnp.stack([b for _, b in affines])]),
+    )
+    B = sdfp.shape[0]
+    sdf = sdfp.reshape(B, Z, Y, -1)[:, :, :, :X]
+    mask = mskp.reshape(B, Z, Y, -1)[:, :, :, :X] > 0.5
+    return sdf, mask
 
 
 def conv_folded_xla(xf: jax.Array, w27: jax.Array, cpad: int) -> jax.Array:

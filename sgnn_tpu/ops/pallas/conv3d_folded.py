@@ -1681,3 +1681,286 @@ def fused_head_folded(
         out_shape=out_shape,
         scratch_shapes=scratch,
     )(*xs, mask, whs, woccs, affines, bias2)
+
+
+# ----------------------------------- multi-scale packed surface head (v4)
+#
+# The surface block's input groups are the unet's pyramid levels; the
+# composed path NN-upsamples the two deep groups to FULL resolution
+# (ops/folded.py:upsample2_folded — at headline dims two ~117 MB bf16
+# materializations, each written then re-read) and the head kernel then
+# GEMMs every group at full-resolution row count. This kernel reads each
+# group at its NATIVE resolution: the per-group head GEMM runs on the
+# coarse rows (s^3 fewer), and the NN expansion happens in-register
+# (x: one-hot lane-dup GEMMs, z/y: sublane repeats) on the GEMM RESULTS.
+# The packed outputs replace the 128-lane f32 raw grid (the largest HBM
+# write of the forward) with slot-resolution [B, Z, Y, xq, F] grids that
+# reshape to [B, Z, Y, X] for free — no strided lane-extraction unfold
+# on the fetch path. Bitwise-equal to the composed path (one-hot
+# contractions run at Precision.HIGHEST; NN copies and 0/1 masks are
+# exact in every dtype). Matches the reference's SurfacePrediction head
+# (/root/reference/torch/model.py:257,270) + the surface export slice of
+# test_scene.py:90-100.
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_matrix(cpad: int) -> np.ndarray:
+    """[128, F] one-hot: lane (slot, channel 0) -> packed slot lane."""
+    F = LANES // cpad
+    P = np.zeros((LANES, F), np.float32)
+    for s in range(F):
+        P[s * cpad, s] = 1.0
+    return P
+
+
+@functools.lru_cache(maxsize=None)
+def _dup_matrix_local(cpad: int) -> np.ndarray:
+    """[128, 256] x-dup: coarse slot s -> fine pair offsets 2s, 2s+1
+    (same constant as ops/folded.py:_dup_matrix; duplicated here to keep
+    this module import-independent of ops/folded)."""
+    F = LANES // cpad
+    M = np.zeros((LANES, 2 * LANES), np.float32)
+    for s in range(F):
+        for c in range(cpad):
+            for px in (0, 1):
+                o = 2 * s + px
+                M[s * cpad + c, (o // F) * LANES + (o % F) * cpad + c] = 1
+    return M
+
+
+def _kernel_surfpack(*refs, G, scales, tz, ty, xq, xqs, xbs, relu,
+                     want_mask):
+    xrefs = refs[:G]
+    mask_ref = refs[G]
+    wh_ref, ab_ref, bias_ref, dup_ref, sel_ref = refs[G + 1:G + 6]
+    outs = refs[G + 6:G + 8] if want_mask else refs[G + 6:G + 7]
+    scr = refs[G + 6 + len(outs):]
+    tbufs = scr[:G]
+    mbuf = scr[G]
+    obufs = scr[G + 1:G + 1 + len(outs)]
+    in_sems, out_sems = scr[G + 1 + len(outs):]
+
+    nz = pl.num_programs(1)
+    ny = pl.num_programs(2)
+    b = pl.program_id(0)
+    iz = pl.program_id(1)
+    iy = pl.program_id(2)
+    k = (b * nz + iz) * ny + iy
+    total = pl.num_programs(0) * nz * ny
+    nout = len(outs)
+
+    def in_dmas(step, slot):
+        bb = step // (nz * ny)
+        r = step % (nz * ny)
+        z0 = (r // ny) * tz
+        y0 = (r % ny) * ty
+        dmas = []
+        for g, s in enumerate(scales):
+            dmas.append(pltpu.make_async_copy(
+                xrefs[g].at[bb, pl.ds(1 + z0 // s, tz // s),
+                            pl.ds(1 + y0 // s, ty // s), :, :],
+                tbufs[g].at[slot], in_sems.at[slot, g],
+            ))
+        dmas.append(pltpu.make_async_copy(
+            mask_ref.at[bb, pl.ds(1 + z0, tz), pl.ds(1 + y0, ty), :, :],
+            mbuf.at[slot], in_sems.at[slot, G],
+        ))
+        return dmas
+
+    @pl.when(k == 0)
+    def _():
+        for d in in_dmas(0, 0):
+            d.start()
+
+    @pl.when(k + 1 < total)
+    def _():
+        for d in in_dmas(k + 1, (k + 1) % 2):
+            d.start()
+
+    @pl.when(k > 1)
+    def _():
+        for j in range(nout):
+            pltpu.make_async_copy(
+                obufs[j].at[k % 2], obufs[j].at[k % 2],
+                out_sems.at[k % 2, j],
+            ).wait()
+
+    for d in in_dmas(k, k % 2):
+        d.wait()
+
+    slot = k % 2
+    mt = mbuf[slot]  # [tz, ty, xq, 128] 0/1
+    acc = None
+    for g, s in enumerate(scales):
+        t = tbufs[g][slot]  # [tz/s, ty/s, xqs_g, 128]
+        tzc, tyc = tz // s, ty // s
+        tf = t.astype(jnp.float32) * ab_ref[0, g] + ab_ref[1, g]
+        if relu:
+            tf = jnp.maximum(tf, 0.0)
+        lhs = tf.astype(t.dtype)
+        h = jnp.dot(
+            lhs.reshape(tzc * tyc * xqs[g], LANES), wh_ref[g],
+            preferred_element_type=jnp.float32,
+        ).reshape(tzc, tyc, xqs[g], LANES)
+        # NN-expand the per-voxel head values to the fine tile. The same
+        # value lands on every child, so expansion AFTER the GEMM is
+        # bitwise-equal to the composed upsample-then-GEMM path.
+        xb = xbs[g]
+        steps = s.bit_length() - 1
+        for _ in range(steps):
+            hp = jnp.dot(
+                h[:, :, :xb].reshape(-1, LANES), dup_ref[...],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # one-hot x-dup: coarse slot -> fine pair offsets, exact
+            xb *= 2
+            h = hp.reshape(h.shape[0], h.shape[1], xb, LANES)
+            h = jnp.repeat(h, 2, axis=0)
+            h = jnp.repeat(h, 2, axis=1)
+        if h.shape[2] < xq:
+            h = jnp.pad(
+                h, ((0, 0), (0, 0), (0, xq - h.shape[2]), (0, 0))
+            )
+        elif h.shape[2] > xq:
+            h = h[:, :, :xq]
+        acc = h if acc is None else acc + h
+    # the composed path masks each group's activations BEFORE its GEMM;
+    # with the block-diagonal head matrix and a per-voxel 0/1 mask that
+    # commutes to one multiply on the summed result (bitwise: x*1 == x,
+    # masked-out voxels hold exactly `bias`, matching the raw contract)
+    out2 = acc * mt.astype(jnp.float32) + bias_ref[0]
+    rows = tz * ty * xq
+    packed = jnp.dot(
+        out2.reshape(rows, LANES), sel_ref[...],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # one-hot: exact f32 pick
+    )
+    F = sel_ref.shape[1]
+    obufs[0][slot] = packed.reshape(tz, ty, xq, F)
+    if want_mask:
+        mp = jnp.dot(
+            mt.astype(jnp.float32).reshape(rows, LANES), sel_ref[...],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        obufs[1][slot] = mp.reshape(tz, ty, xq, F)
+    for j in range(nout):
+        pltpu.make_async_copy(
+            obufs[j].at[slot],
+            outs[j].at[b, pl.ds(iz * tz, tz), pl.ds(iy * ty, ty), :, :],
+            out_sems.at[slot, j],
+        ).start()
+
+    @pl.when(k == total - 1)
+    def _():
+        for j in range(nout):
+            pltpu.make_async_copy(
+                obufs[j].at[slot], obufs[j].at[slot], out_sems.at[slot, j]
+            ).wait()
+
+    @pl.when((k == total - 2) & (total > 1))
+    def _():
+        for j in range(nout):
+            pltpu.make_async_copy(
+                obufs[j].at[slot], obufs[j].at[slot], out_sems.at[slot, j]
+            ).wait()
+
+
+def fused_surf_head_packed(
+    xs: list,            # G folded grids, group g at 1/scales[g] res
+    scales: tuple,       # per-group NN-upsample factor to full res (1/2/4)
+    mask: jax.Array,     # FINE mask [B, Z+2, Y+2, xq, 128], 0/1
+    whs: jax.Array,      # [G, 128, 128] per-group head lane matrices
+    bias_t: jax.Array,   # [128] f32 head bias tile
+    cpad: int,
+    *,
+    affines: jax.Array,  # [2, G, 128] f32 (scale, bias)
+    relu: bool = True,
+    want_mask: bool = True,
+):
+    """Surface head over multi-resolution groups -> slot-packed outputs.
+
+    Returns (sdf_packed [B, Z, Y, xq, F] f32, mask_packed same | None):
+    ``packed.reshape(B, Z, Y, xq * F)[..., :X]`` is the dense
+    [B, Z, Y, X] grid — channel-0 extraction happens in-kernel, so no
+    full-width 128-lane f32 grid is ever written to HBM. Bitwise-equal
+    to [upsample2_folded* -> fused_head_folded(gate=False) -> unfold].
+    """
+    G = len(xs)
+    assert len(scales) == G and scales[0] == 1
+    B, Zp, Yp, xq, _ = mask.shape
+    Z, Y = Zp - 2, Yp - 2
+    dt = xs[0].dtype
+    F = LANES // cpad
+    smax = max(scales)
+    xqs = []
+    for x, s in zip(xs, scales):
+        assert x.shape[0] == B and x.shape[1] == Z // s + 2, (
+            x.shape, (B, Z, s)
+        )
+        xqs.append(x.shape[3])
+    # real (non-tail-pad) block count per group: the expansion doubles it
+    # per step and the result must cover the fine grid's real blocks.
+    # The scale-1 group's own grid defines xq; coarser grids may carry
+    # tail-pad blocks beyond xq // s (xq rounds up to 8) — never read.
+    xbs = [-(-xq // s) for s in scales]
+    for g in range(G):
+        assert xbs[g] <= xqs[g], (g, xbs[g], xqs[g], scales)
+
+    best = (smax, smax)
+    isz = jnp.dtype(dt).itemsize
+    for tz in (16, 12, 8, 4):
+        if Z % tz or tz % smax:
+            continue
+        for ty in (32, 24, 16, 8, 4):
+            if Y % ty or ty % smax:
+                continue
+            R = tz * ty * xq
+            cost = 2 * R * LANES * isz          # mask tiles (2 slots)
+            for g, s in enumerate(scales):
+                cost += 2 * (tz // s) * (ty // s) * xqs[g] * LANES * isz
+            cost += R * LANES * 4 * 2           # acc f32 + expand temps
+            cost += 2 * 2 * R * F * 4           # packed obufs
+            cost += G * LANES * LANES * isz + LANES * 2 * LANES * 4
+            if cost <= 11_000_000 and tz * ty > best[0] * best[1]:
+                best = (tz, ty)
+    tz, ty = best
+    assert Z % tz == 0 and Y % ty == 0, (Z, Y, tz, ty, smax)
+    grid = (B, Z // tz, Y // ty)
+    kernel = functools.partial(
+        _kernel_surfpack, G=G, scales=tuple(scales), tz=tz, ty=ty, xq=xq,
+        xqs=tuple(xqs), xbs=tuple(xbs), relu=relu, want_mask=want_mask,
+    )
+    nout = 2 if want_mask else 1
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((B, Z, Y, xq, F), jnp.float32)
+        for _ in range(nout)
+    )
+    dup = jnp.asarray(_dup_matrix_local(cpad), jnp.float32)
+    sel = jnp.asarray(_pack_matrix(cpad), jnp.float32)
+    scratch = [
+        *[pltpu.VMEM((2, tz // s, ty // s, xqs[g], LANES), dt)
+          for g, s in enumerate(scales)],
+        pltpu.VMEM((2, tz, ty, xq, LANES), dt),      # mask tiles
+        *[pltpu.VMEM((2, tz, ty, xq, F), jnp.float32)
+          for _ in range(nout)],
+        pltpu.SemaphoreType.DMA((2, G + 1)),
+        pltpu.SemaphoreType.DMA((2, nout)),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (G + 1) + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whs
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # affines
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dup
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sel
+        ],
+        out_specs=(
+            tuple(pl.BlockSpec(memory_space=pl.ANY) for _ in range(nout))
+            if want_mask else pl.BlockSpec(memory_space=pl.ANY)
+        ),
+        out_shape=out_shape if want_mask else out_shape[0],
+        scratch_shapes=scratch,
+    )(*xs, mask, whs, affines, bias_t[None], dup, sel)

@@ -623,3 +623,141 @@ def test_fused_downconv_int8_interpret(rng):
             )
     finally:
         PC.pl.pallas_call = orig
+
+
+def test_scatter_slots_folded_interpret(rng):
+    """Binned Pallas scatter == XLA scatter-set on the same rows, sorted
+    and unsorted, including rows straddling plane boundaries and dropped
+    out-of-range rows."""
+    import jax.numpy as jnp
+
+    import sgnn_tpu.ops.pallas.scatter_folded as SF
+
+    orig = SF.pl.pallas_call
+    SF.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        nplanes, S = 6, 2 * 128
+        total = nplanes * S
+        cap, n = 512, 391
+        flat = rng.choice(total, n, replace=False).astype(np.int32)
+        vals = rng.randn(cap).astype(np.float32)
+        base = np.full(cap, -(1 << 30), np.int32)
+        base[:n] = flat
+        ref = np.zeros(total, np.float32)
+        ref[flat] = vals[:n]
+
+        got = np.asarray(SF.scatter_slots_folded(
+            jnp.asarray(base), jnp.asarray(vals), nplanes, S,
+        ))
+        np.testing.assert_allclose(got, ref, atol=0)
+
+        # presorted path: ascending valid rows, padding at the tail
+        order = np.argsort(flat)
+        base_s = np.full(cap, -(1 << 30), np.int32)
+        base_s[:n] = flat[order]
+        vals_s = np.zeros(cap, np.float32)
+        vals_s[:n] = vals[:n][order]
+        got_s = np.asarray(SF.scatter_slots_folded(
+            jnp.asarray(base_s), jnp.asarray(vals_s), nplanes, S,
+            presorted=True,
+        ))
+        np.testing.assert_allclose(got_s, ref, atol=0)
+    finally:
+        SF.pl.pallas_call = orig
+
+
+def test_scatter_sparse_kernel_path_matches(rng, monkeypatch):
+    """scatter_sparse with the Pallas kernel forced on (interpret mode)
+    equals the XLA scatter path bit-for-bit."""
+    import jax.numpy as jnp
+
+    import sgnn_tpu.ops.pallas.scatter_folded as SF
+    from sgnn_tpu.ops import folded as FO
+
+    B, Z, Y, X, cpad = 2, 4, 6, 32, 16
+    n, cap = 80, 128
+    locs = np.stack([
+        rng.randint(0, Z, n), rng.randint(0, Y, n),
+        rng.randint(0, X, n), rng.randint(0, B, n),
+    ], -1).astype(np.int32)
+    locs = np.unique(locs, axis=0)
+    n = len(locs)
+    locs_p = np.concatenate([locs, np.full((cap - n, 4), -1, np.int32)])
+    feats = np.zeros((cap, 1), np.float32)
+    feats[:n, 0] = rng.randn(n) * 2.5
+    args = (jnp.asarray(locs_p), jnp.asarray(feats), jnp.int32(n),
+            (Z, Y, X), B)
+    ref_g, ref_m = FO.scatter_sparse(*args, cpad=cpad, dtype=jnp.float32,
+                                     feat_bound=3.0)
+
+    orig = SF.pl.pallas_call
+    SF.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    monkeypatch.setattr(
+        "jax.default_backend", lambda: "tpu"
+    )
+    try:
+        got_g, got_m = FO.scatter_sparse(
+            *args, cpad=cpad, dtype=jnp.float32, feat_bound=3.0,
+        )
+    finally:
+        SF.pl.pallas_call = orig
+    np.testing.assert_array_equal(np.asarray(got_g.data),
+                                  np.asarray(ref_g.data))
+    np.testing.assert_array_equal(np.asarray(got_m.data),
+                                  np.asarray(ref_m.data))
+
+
+def test_surf_head_packed_interpret(rng):
+    """Multi-scale packed surface head == composed path (upsample2 per
+    scale step -> surf_head_fused -> unfold), bitwise, including the
+    mask output and coarse tail-pad block handling."""
+    import jax.numpy as jnp
+
+    import sgnn_tpu.ops.pallas.conv3d_folded as PC
+    from sgnn_tpu.ops import folded as FO
+
+    B, Z, Y, X = 1, 32, 32, 64
+    cpad, nf = 16, 4
+    scales = (1, 2, 4)
+    groups = []
+    for s in scales:
+        d = rng.randn(B, Z // s, Y // s, X // s, nf).astype(np.float32)
+        groups.append(FO.fold(jnp.asarray(d), cpad))
+    mask = rng.rand(B, Z, Y, X) < 0.3
+    fm = FO.fold_mask(jnp.asarray(mask), cpad, jnp.float32)
+
+    C = nf * len(scales)
+    bn_params = {
+        "scale": jnp.asarray(rng.rand(C).astype(np.float32) + 0.5),
+        "bias": jnp.asarray(rng.randn(C).astype(np.float32)),
+    }
+    bn_stats = {
+        "mean": jnp.asarray(rng.randn(C).astype(np.float32)),
+        "var": jnp.asarray(rng.rand(C).astype(np.float32) + 0.2),
+    }
+    W = jnp.asarray(rng.randn(C, 1).astype(np.float32) * 0.3)
+    bias = jnp.asarray(rng.randn(1).astype(np.float32))
+
+    orig = PC.pl.pallas_call
+    PC.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        # composed reference: materialize the upsampled groups
+        mats = []
+        for g, s in zip(groups, scales):
+            m = g
+            while s > 1:
+                m = FO.upsample2_folded(m)
+                s //= 2
+            mats.append(m)
+        ref_fg = FO.surf_head_fused(mats, fm, bn_params, bn_stats, W, bias)
+        ref_sdf = np.asarray(FO.unfold(ref_fg))[..., 0]
+        ref_mask = np.asarray(FO.unfold(fm))[..., 0] > 0.5
+
+        got_sdf, got_mask = FO.surf_head_packed(
+            list(zip(groups, scales)), fm, bn_params, bn_stats, W, bias
+        )
+    finally:
+        PC.pl.pallas_call = orig
+    np.testing.assert_array_equal(np.asarray(got_mask), ref_mask)
+    np.testing.assert_array_equal(np.asarray(got_sdf), ref_sdf)
+    assert ref_mask.any()

@@ -244,6 +244,35 @@ def test_train_conv_vjp_parity(rng):
     assert float(np.abs(got[2]).max()) > 0
 
 
+@pytest.mark.parametrize("presorted", [False, True])
+def test_scatter_parity(rng, presorted):
+    """Binned input scatter: compiled Mosaic == interpret, exact."""
+    import sgnn_tpu.ops.pallas.scatter_folded as SF
+
+    nplanes, S = 34, 6 * 128
+    total = nplanes * S
+    cap, n = 4096, 2931
+    flat = np.sort(rng.choice(total, n, replace=False)).astype(np.int32)
+    if not presorted:
+        flat = flat[rng.permutation(n)]
+    base = np.full(cap, -(1 << 30), np.int32)
+    base[:n] = flat
+    vals = np.zeros(cap, np.float32)
+    vals[:n] = rng.randn(n)
+
+    def run():
+        return SF.scatter_slots_folded(
+            jnp.asarray(base), jnp.asarray(vals), nplanes, S,
+            presorted=presorted,
+        )
+
+    got, ref = _both(run)
+    np.testing.assert_array_equal(got, ref)
+    ref_np = np.zeros(total, np.float32)
+    ref_np[flat] = vals[:n]
+    np.testing.assert_allclose(got, ref_np, atol=0)
+
+
 @pytest.mark.parametrize("int8", [False, True])
 def test_whole_model_parity(int8):
     """Production folded forward end to end (all kernel families wired

@@ -51,6 +51,7 @@ def main():
         compute_dtype="bfloat16",
         use_pallas_conv=jax.default_backend() == "tpu",
         quantize_int8=args.int8,
+        input_presorted=True,  # _synthetic_sparse_input is C-ordered
     )
     params, stats = M.genmodel_init(jax.random.PRNGKey(0), cfg)
     locs, feats, num = _synthetic_sparse_input(cfg)
