@@ -221,9 +221,18 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
         z = FO.subm_conv_fused([ex(g) for g in cur], cur_fm, p["p1"],
                                p["p1"].shape[-1], quantize=q8)
         zg = _unet(p["p2"], st_h["p2"], z, cur_fm, q=q8, ex=ex, exm=exm)
+        # serving path (no per-level outputs, kernels on): the unfiltered
+        # fine mask is the NN-dup of cur_fm — upconv and the head site
+        # expand it in-register from the coarse grid, so it never
+        # materializes in HBM (three full-grid passes saved per level)
+        fuse_mask = not (want_level_outputs
+                         or os.environ.get("SGNN_NO_UPCONV")
+                         or os.environ.get("SGNN_NO_HEADK")
+                         or os.environ.get("SGNN_NO_MASKFUSE"))
+        fm_unfilt = (None if fuse_mask
+                     else exm(FO.upsample2_folded(cur_fm)))
         # generative 2x upsample + n1 conv as ONE kernel reading the
         # coarse groups, with the p3 BN folded into its input affine
-        fm_unfilt = exm(FO.upsample2_folded(cur_fm))
         if os.environ.get("SGNN_NO_UPCONV"):
             zb = _bn_groups(p["p3"], st_h["p3"], zg, cur_fm)
             ups = [ex(FO.upsample2_folded(g)) for g in zb]
@@ -248,8 +257,10 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
         else:
             # n2-BN + heads + occupancy gate + masking as ONE kernel
             upm, o2m, new_fm, out2 = FO.head_site_fused(
-                up, fm_unfilt, p["n2"], st_h["n2"], w2, b2, dtype=dt,
+                up, cur_fm if fuse_mask else fm_unfilt,
+                p["n2"], st_h["n2"], w2, b2, dtype=dt,
                 emit_raw=want_level_outputs,
+                fm_scale=2 if fuse_mask else 1,
             )
         new_fm = exm(new_fm)
         nxt = []

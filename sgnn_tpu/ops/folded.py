@@ -613,7 +613,8 @@ def subm_conv_fused(groups: list, fm: FGrid, w27: jax.Array, cout: int, *,
     return FGrid(out, fg0.dims, cout, cpad)
 
 
-def upconv_fused(groups: list, cfm: FGrid, ffm: FGrid, w27: jax.Array,
+def upconv_fused(groups: list, cfm: FGrid, ffm: FGrid | None,
+                 w27: jax.Array,
                  cout: int, *, bn_params: dict | None = None,
                  bn_stats: dict | None = None, relu: bool = True,
                  eps: float = 1e-4, quantize: bool = False) -> FGrid:
@@ -647,10 +648,14 @@ def upconv_fused(groups: list, cfm: FGrid, ffm: FGrid, w27: jax.Array,
             affines.append((jnp.tile(a, F), jnp.tile(b, F)))
         off += c
     assert off == w27.shape[1], (off, w27.shape)
+    # ffm=None: the fine mask is the NN-dup of cfm, expanded in-register
+    # (refine_level's fm_unfilt never materializes in serving)
     out = fused_upconv_folded(
-        [g.data for g in groups], cfm.data, ffm.data, ws, cpad,
+        [g.data for g in groups], cfm.data,
+        ffm.data if ffm is not None else None, ws, cpad,
         affines=affines if bn_params is not None else None, relu=relu,
         quantize=quantize,
+        xqf=_xq_for(2 * Xc, cpad) if ffm is None else None,
     )
     return FGrid(out, (2 * Zc, 2 * Yc, 2 * Xc), cout, cpad)
 
@@ -793,7 +798,8 @@ def _eval_affine(bn_params, bn_stats, c, cpad, off=0, eps=1e-4):
 
 def head_site_fused(up: FGrid, fm: FGrid, bn_params: dict, bn_stats: dict,
                     W2: jax.Array, b2: jax.Array, *, dtype=jnp.bfloat16,
-                    eps: float = 1e-4, emit_raw: bool = True
+                    eps: float = 1e-4, emit_raw: bool = True,
+                    fm_scale: int = 1
                     ) -> tuple[FGrid, FGrid, FGrid, FGrid | None]:
     """Fused refinement tail: [n2 eval-BN + ReLU + mask] -> heads linear
     (occ ch0 | sdf ch1) -> occupancy gate -> (masked post-BN feats,
@@ -823,7 +829,7 @@ def head_site_fused(up: FGrid, fm: FGrid, bn_params: dict, bn_stats: dict,
         Wt[None].astype(up.data.dtype), jnp.stack([bt, brep]),
         affines=jnp.stack([a[None], b[None]]),
         woccs=Wocc[None].astype(up.data.dtype), gate=True,
-        emit_raw=emit_raw,
+        emit_raw=emit_raw, mask_scale=fm_scale, mask_cpad=fm.cpad,
     )
     upm, o2m, fmn = outs[:3]
     return (
@@ -872,20 +878,20 @@ def surf_head_packed(groups: list, fm: FGrid, bn_params: dict,
                      bn_stats: dict, W: jax.Array, bias: jax.Array, *,
                      eps: float = 1e-4
                      ) -> tuple[jax.Array, jax.Array]:
-    """Multi-scale fused surface tail -> slot-packed dense outputs.
+    """Multi-scale fused surface tail -> dense (sdf, mask) outputs.
 
     ``groups`` is a list of (FGrid, scale) pairs — the unet pyramid at
     NATIVE resolutions (scale = NN-upsample factor to full res; the
     deferred form of _unet, models/folded_flow.py). Returns
-    (sdf [B, Z, Y, X] f32 raw head values, surf_mask [B, Z, Y, X] bool):
-    the per-group head GEMM runs on the coarse rows and the upsampled
-    grids are never materialized; channel packing happens in-kernel, so
-    no 128-lane full-res f32 grid ever hits HBM (the composed path's
-    largest write). Bitwise-equal to
-    [upsample2_folded* -> surf_head_fused -> unfold]. Reference:
-    SurfacePrediction head, /root/reference/torch/model.py:257,270.
+    (sdf [B, Z, Y, X] f32 raw head values, surf_mask [B, Z, Y, X] bool).
+    The per-group head GEMM runs on the coarse rows (s^3 fewer for a
+    scale-s group) and the NN expansion happens in-register on the GEMM
+    results — the upsampled group grids never exist in HBM. Bitwise-
+    equal to [upsample2_folded* -> surf_head_fused -> unfold].
+    Reference: SurfacePrediction head,
+    /root/reference/torch/model.py:257,270.
     """
-    from sgnn_tpu.ops.pallas.conv3d_folded import fused_surf_head_packed
+    from sgnn_tpu.ops.pallas.conv3d_folded import fused_surf_head_ms
 
     cpad = groups[0][0].cpad
     F = LANES // cpad
@@ -905,16 +911,15 @@ def surf_head_packed(groups: list, fm: FGrid, bn_params: dict,
         bias.astype(jnp.float32)
     )
     bt = jnp.tile(bl, F)
-    sdfp, mskp = fused_surf_head_packed(
+    out = fused_surf_head_ms(
         [g.data for g, _ in groups], tuple(s for _, s in groups),
         fm.data,
         jnp.stack(tiles).astype(groups[0][0].data.dtype), bt, cpad,
         affines=jnp.stack([jnp.stack([a for a, _ in affines]),
                            jnp.stack([b for _, b in affines])]),
     )
-    B = sdfp.shape[0]
-    sdf = sdfp.reshape(B, Z, Y, -1)[:, :, :, :X]
-    mask = mskp.reshape(B, Z, Y, -1)[:, :, :, :X] > 0.5
+    sdf = unfold(FGrid(out, groups[0][0].dims, 1, cpad))[..., 0]
+    mask = unfold(fm)[..., 0] > 0.5
     return sdf, mask
 
 

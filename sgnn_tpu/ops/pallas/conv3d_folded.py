@@ -756,11 +756,19 @@ def _fold_upsample_weights(weight27: jax.Array, cpad: int, dtype):
 
 
 def _kernel_upconv(*refs, G, tzf, tyf, xqf, xqc, cpad, relu, has_affine,
-                   acc_dtype, quant=False):
+                   acc_dtype, quant=False, has_fmask=True):
     xrefs = refs[:G]
     i = G
-    cmask_ref, fmask_ref, wm_ref, wc_ref, ab_ref = refs[i:i + 5]
-    i += 5
+    if has_fmask:
+        cmask_ref, fmask_ref, wm_ref, wc_ref, ab_ref = refs[i:i + 5]
+        i += 5
+        dup_ref = None
+    else:
+        # fine mask expanded in-register from the coarse tile (one
+        # exact 0/1 lane-dup GEMM); no fine-mask grid exists in HBM
+        cmask_ref, wm_ref, wc_ref, ab_ref, dup_ref = refs[i:i + 5]
+        i += 5
+        fmask_ref = None
     if quant:
         ws_ref = refs[i]
         i += 1
@@ -768,8 +776,13 @@ def _kernel_upconv(*refs, G, tzf, tyf, xqf, xqc, cpad, relu, has_affine,
         ws_ref = None
     out_ref = refs[i]
     i += 1
-    (tbuf, mbuf, obuf, zb_z, zb_y, zb_c,
-     in_sems, out_sems, ring_sems) = refs[i:]
+    if has_fmask:
+        (tbuf, mbuf, obuf, zb_z, zb_y, zb_c,
+         in_sems, out_sems, ring_sems) = refs[i:]
+    else:
+        (tbuf, obuf, zb_z, zb_y, zb_c,
+         in_sems, out_sems, ring_sems) = refs[i:]
+        mbuf = None
     tzc, tyc = tzf // 2, tyf // 2
 
     nz = pl.num_programs(1)
@@ -800,11 +813,13 @@ def _kernel_upconv(*refs, G, tzf, tyf, xqf, xqc, cpad, relu, has_affine,
             tbuf.at[slot, G],
             in_sems.at[slot, G],
         ))
-        dmas.append(pltpu.make_async_copy(
-            fmask_ref.at[bb, pl.ds(1 + zf0, tzf), pl.ds(1 + yf0, tyf), :, :],
-            mbuf.at[slot],
-            in_sems.at[slot, G + 1],
-        ))
+        if has_fmask:
+            dmas.append(pltpu.make_async_copy(
+                fmask_ref.at[bb, pl.ds(1 + zf0, tzf), pl.ds(1 + yf0, tyf),
+                             :, :],
+                mbuf.at[slot],
+                in_sems.at[slot, G + 1],
+            ))
         return dmas
 
     @pl.when(k == 0)
@@ -897,10 +912,22 @@ def _kernel_upconv(*refs, G, tzf, tyf, xqf, xqc, cpad, relu, has_affine,
             # [rows_c, 256] -> fine blocks [tzc, tyc, 2 xqc, 128] -> crop
             sub = acc.reshape(tzc, tyc, xqc * 2, LANES)[:, :, :xqf]
             subs.append(sub)
+    if not has_fmask:
+        # mco[q, qy] == fine mask at every (2q+pz, 2qy+py): multiply the
+        # parity accumulators by the SAME dup'd coarse interior (0/1
+        # one-hot GEMM — exact in any dtype), bitwise-equal to the
+        # composed fine-mask multiply
+        mco = jnp.dot(
+            cm[1:1 + tzc, 1:1 + tyc].reshape(rows_c, LANES),
+            dup_ref[...].astype(cm.dtype),
+            preferred_element_type=acc_dtype,
+        ).reshape(tzc, tyc, xqc * 2, LANES)[:, :, :xqf]
+        subs = [s * mco for s in subs]
     full = jnp.stack(subs).reshape(2, 2, tzc, tyc, xqf, LANES)
     full = full.transpose(2, 0, 3, 1, 4, 5).reshape(tzf, tyf, xqf, LANES)
-    mt = mbuf[slot].astype(acc_dtype)
-    obuf[slot] = (full * mt).astype(out_ref.dtype)
+    if has_fmask:
+        full = full * mbuf[slot].astype(acc_dtype)
+    obuf[slot] = full.astype(out_ref.dtype)
     pltpu.make_async_copy(
         obuf.at[slot],
         out_ref.at[b, pl.ds(1 + iz * tzf, tzf), pl.ds(1 + iy * tyf, tyf),
@@ -983,13 +1010,17 @@ def _pick_tiles_upconv(Zf, Yf, xqf, xqc, G, itemsize,
 def fused_upconv_folded(
     xs: list,            # G COARSE halo'd grids [B, Zc+2, Yc+2, xqc, 128]
     cmask: jax.Array,    # coarse mask, same shape
-    fmask: jax.Array,    # FINE mask [B, 2Zc+2, 2Yc+2, xqf, 128]
+    fmask: jax.Array | None,  # FINE mask [B, 2Zc+2, 2Yc+2, xqf, 128];
+                         # None: expand the coarse mask in-register (the
+                         # NN-dup'd coarse mask IS the fine mask here —
+                         # no fine-mask grid need exist in HBM)
     w27s: list,          # G weights [27, real_c_g, cout <= cpad]
     cpad: int,
     *,
     affines: list | None = None,
     relu: bool = True,
     quantize: bool = False,
+    xqf: int | None = None,  # required when fmask is None
 ) -> jax.Array:
     """fmask * conv3(nn_up2(sum_g in_g')) as a halo'd FINE folded grid;
     in_g' = relu(in_g * a + b) * cmask when affines given (fused BN-eval).
@@ -1000,8 +1031,12 @@ def fused_upconv_folded(
     B, Zcp, Ycp, xqc, _ = x0.shape
     Zc, Yc = Zcp - 2, Ycp - 2
     Zf, Yf = 2 * Zc, 2 * Yc
-    _, Zfp, Yfp, xqf, _ = fmask.shape
-    assert (Zfp, Yfp) == (Zf + 2, Yf + 2), (fmask.shape, x0.shape)
+    has_fmask = fmask is not None
+    if has_fmask:
+        _, Zfp, Yfp, xqf, _ = fmask.shape
+        assert (Zfp, Yfp) == (Zf + 2, Yf + 2), (fmask.shape, x0.shape)
+    else:
+        assert xqf is not None
     dt = x0.dtype
     wms, wcs = [], []
     for w in w27s:
@@ -1045,7 +1080,7 @@ def fused_upconv_folded(
     kernel = functools.partial(
         _kernel_upconv, G=G, tzf=tzf, tyf=tyf, xqf=xqf, xqc=xqc, cpad=cpad,
         relu=relu, has_affine=has_affine, acc_dtype=jnp.float32,
-        quant=quantize,
+        quant=quantize, has_fmask=has_fmask,
     )
     w_operands = [wm, wc, ab]
     w_specs = [
@@ -1053,27 +1088,34 @@ def fused_upconv_folded(
         pl.BlockSpec(memory_space=pltpu.VMEM),  # wc
         pl.BlockSpec(memory_space=pltpu.VMEM),  # ab
     ]
+    if not has_fmask:
+        w_operands.append(jnp.asarray(_dup_matrix_local(cpad), jnp.float32))
+        w_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # dup
     if quantize:
         w_operands.append(ws)
         w_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # ws
+    scratch = [
+        pltpu.VMEM((2, G + 1, tzc + 2, tyc + 2, xqc, LANES), dt),
+        *((pltpu.VMEM((2, tzf, tyf, xqf, LANES), dt),)   # mbuf (fine mask)
+          if has_fmask else ()),
+        pltpu.VMEM((2, tzf, tyf, xqf, LANES), dt),       # obuf
+        pltpu.VMEM((1, tyf, xqf, LANES), dt),            # zb_z
+        pltpu.VMEM((tzf, 1, xqf, LANES), dt),            # zb_y
+        pltpu.VMEM((1, 1, xqf, LANES), dt),              # zb_c
+        pltpu.SemaphoreType.DMA((2, G + 2 if has_fmask else G + 1)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((8,)),
+    ]
+    m_operands = (cmask, fmask) if has_fmask else (cmask,)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (G + 2) + w_specs,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        * (G + len(m_operands)) + w_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((B, Zf + 2, Yf + 2, xqf, LANES), dt),
-        scratch_shapes=[
-            pltpu.VMEM((2, G + 1, tzc + 2, tyc + 2, xqc, LANES), dt),
-            pltpu.VMEM((2, tzf, tyf, xqf, LANES), dt),   # mbuf (fine mask)
-            pltpu.VMEM((2, tzf, tyf, xqf, LANES), dt),   # obuf
-            pltpu.VMEM((1, tyf, xqf, LANES), dt),        # zb_z
-            pltpu.VMEM((tzf, 1, xqf, LANES), dt),        # zb_y
-            pltpu.VMEM((1, 1, xqf, LANES), dt),          # zb_c
-            pltpu.SemaphoreType.DMA((2, G + 2)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((8,)),
-        ],
-    )(*xs, cmask, fmask, *w_operands)
+        scratch_shapes=scratch,
+    )(*xs, *m_operands, *w_operands)
 
 
 # --------------------------------------------- fused strided downsample (v3)
@@ -1404,33 +1446,43 @@ def fused_downconv_folded(
 
 
 def _kernel_head(*refs, G, tz, ty, xq, relu, gate, acc_dtype,
-                 emit_raw=True):
+                 emit_raw=True, mask_scale=1, xqc=0):
     xrefs = refs[:G]
     mask_ref = refs[G]
-    wh_ref, wocc_ref, ab_ref, bias_ref = refs[G + 1:G + 5]
+    ms = mask_scale
+    if ms == 1:
+        wh_ref, wocc_ref, ab_ref, bias_ref = refs[G + 1:G + 5]
+        dup_ref = None
+        i = G + 5
+    else:
+        # mask_ref is the COARSE level mask; the fine mask is its
+        # in-register NN expansion (exact 0/1 lane-dup GEMM + sublane
+        # repeats) — the fine-mask grid never exists in HBM
+        wh_ref, wocc_ref, ab_ref, bias_ref, dup_ref = refs[G + 1:G + 6]
+        i = G + 6
     raw = emit_raw or not gate
     if gate:
         if raw:
-            (up_ref, o2_ref, fm_ref, f32_ref) = refs[G + 5:G + 9]
-            scratch = refs[G + 9:]
-            (tbuf, upb, o2b, fmb, f32b, zb_z, zb_y, zb_c,
+            (up_ref, o2_ref, fm_ref, f32_ref) = refs[i:i + 4]
+            scratch = refs[i + 4:]
+            (tbuf, mbuf, upb, o2b, fmb, f32b, zb_z, zb_y, zb_c,
              in_sems, out_sems, ring_sems) = scratch
         else:
             # production inference never reads the raw f32 head grid
             # (the finest level's is 128-lane f32 — by far the largest
             # write of the whole forward); skip the buffer and the DMA
-            (up_ref, o2_ref, fm_ref) = refs[G + 5:G + 8]
+            (up_ref, o2_ref, fm_ref) = refs[i:i + 3]
             f32_ref = None
-            scratch = refs[G + 8:]
-            (tbuf, upb, o2b, fmb, zb_z, zb_y, zb_c,
+            scratch = refs[i + 3:]
+            (tbuf, mbuf, upb, o2b, fmb, zb_z, zb_y, zb_c,
              in_sems, out_sems, ring_sems) = scratch
             f32b = None
         orefs = (up_ref, o2_ref, fm_ref)
         obufs = (upb, o2b, fmb)
     else:
-        f32_ref = refs[G + 5]
-        scratch = refs[G + 6:]
-        (tbuf, f32b, in_sems, out_sems) = scratch
+        f32_ref = refs[i]
+        scratch = refs[i + 1:]
+        (tbuf, mbuf, f32b, in_sems, out_sems) = scratch
         orefs = ()
         obufs = ()
 
@@ -1456,8 +1508,9 @@ def _kernel_head(*refs, G, tz, ty, xq, relu, gate, acc_dtype,
                 tbuf.at[slot, g], in_sems.at[slot, g],
             ))
         dmas.append(pltpu.make_async_copy(
-            mask_ref.at[bb, pl.ds(z0, tz), pl.ds(y0, ty), :, :],
-            tbuf.at[slot, G], in_sems.at[slot, G],
+            mask_ref.at[bb, pl.ds(1 + (z0 - 1) // ms, tz // ms),
+                        pl.ds(1 + (y0 - 1) // ms, ty // ms), :, :],
+            mbuf.at[slot], in_sems.at[slot, G],
         ))
         return dmas
 
@@ -1482,7 +1535,18 @@ def _kernel_head(*refs, G, tz, ty, xq, relu, gate, acc_dtype,
         d.wait()
 
     slot = k % 2
-    mt = tbuf[slot, G]  # [tz, ty, xq, 128] 0/1
+    if ms == 1:
+        mt = mbuf[slot]  # [tz, ty, xq, 128] 0/1
+    else:
+        mc = mbuf[slot]  # [tz/ms, ty/ms, xqc, 128] coarse 0/1
+        m = jnp.dot(
+            mc.reshape((tz // ms) * (ty // ms) * xqc, LANES),
+            dup_ref[...].astype(mc.dtype),
+            preferred_element_type=acc_dtype,
+        ).reshape(tz // ms, ty // ms, xqc * 2, LANES)[:, :, :xq]
+        m = jnp.repeat(m, ms, axis=0)
+        m = jnp.repeat(m, ms, axis=1)
+        mt = m.astype(mc.dtype)
     rows = tz * ty * xq
     acc2 = jnp.zeros((rows, LANES), acc_dtype)
     accoc = jnp.zeros((rows, LANES), acc_dtype)
@@ -1583,7 +1647,11 @@ def _kernel_head(*refs, G, tz, ty, xq, relu, gate, acc_dtype,
 
 def fused_head_folded(
     xs: list,            # G halo'd folded grids [B, Z+2, Y+2, xq, 128]
-    mask: jax.Array,     # same shape, 0/1, zero ring
+    mask: jax.Array,     # 0/1 level mask, zero ring: same shape
+                         # (mask_scale=1) or the COARSE level's grid
+                         # [B, Z/2+2, Y/2+2, xqc, 128] (mask_scale=2 —
+                         # expanded in-register; the fine mask never
+                         # exists in HBM)
     whs: jax.Array,      # [G, 128, 128] per-group head lane matrices
     bias2: jax.Array,    # [2, 128] f32: (head bias tile, occ-replicated)
     *,
@@ -1592,6 +1660,8 @@ def fused_head_folded(
     relu: bool = True,
     gate: bool = True,
     emit_raw: bool = True,
+    mask_scale: int = 1,
+    mask_cpad: int = 16,
 ):
     """Fused per-voxel head site. gate=True (G==1): returns (masked
     post-BN feats bf16, masked head grid bf16, new mask bf16, raw head
@@ -1607,35 +1677,46 @@ def fused_head_folded(
     Z, Y = Zp - 2, Yp - 2
     dt = x0.dtype
     isz = jnp.dtype(dt).itemsize
+    ms = mask_scale
+    assert ms in (1, 2)
+    xqc = mask.shape[3]
+    if ms == 1:
+        assert mask.shape == x0.shape, (mask.shape, x0.shape)
+    else:
+        assert mask.shape[1] == Z // ms + 2, (mask.shape, x0.shape)
+        assert xqc * 2 >= xq
     if gate:
         assert G == 1 and woccs is not None
     else:
         woccs = jnp.zeros_like(whs)
 
-    best = (1, 1)
+    best = (ms, ms)
     nraw = 1 if (emit_raw or not gate) else 0
     nob = (3 * isz + 4 * nraw) if gate else 4
     for tz in (16, 12, 8, 6, 4, 3, 2, 1):
-        if Z % tz:
+        if Z % tz or tz % ms:
             continue
         for ty in (32, 24, 16, 12, 8, 6, 4, 3, 2, 1):
-            if Y % ty:
+            if Y % ty or ty % ms:
                 continue
             R = tz * ty * xq * LANES
-            cost = 2 * (G + 1) * R * isz + 2 * R * nob
+            Rm = (tz // ms) * (ty // ms) * xqc * LANES
+            cost = 2 * G * R * isz + 2 * Rm * isz + 2 * R * nob
             cost += R * 4 * (3 if gate else 2) + R * isz
             cost += (tz + ty + 1) * xq * LANES * isz
             cost += 3 * G * LANES * LANES * isz
             if cost <= 11_000_000 and tz * ty > best[0] * best[1]:
                 best = (tz, ty)
     tz, ty = best
+    assert Z % tz == 0 and Y % ty == 0, (Z, Y, tz, ty, ms)
     grid = (B, Z // tz, Y // ty)
     kernel = functools.partial(
         _kernel_head, G=G, tz=tz, ty=ty, xq=xq, relu=relu, gate=gate,
-        acc_dtype=jnp.float32, emit_raw=emit_raw,
+        acc_dtype=jnp.float32, emit_raw=emit_raw, mask_scale=ms, xqc=xqc,
     )
     shp = (B, Zp, Yp, xq, LANES)
     f32_shape = jax.ShapeDtypeStruct(shp, jnp.float32)
+    mbuf = pltpu.VMEM((2, tz // ms, ty // ms, xqc, LANES), dt)
     if gate:
         out_shape = (
             jax.ShapeDtypeStruct(shp, dt),   # masked post-BN feats
@@ -1644,7 +1725,8 @@ def fused_head_folded(
             *((f32_shape,) if emit_raw else ()),  # raw head grid
         )
         scratch = [
-            pltpu.VMEM((2, G + 1, tz, ty, xq, LANES), dt),  # tbuf
+            pltpu.VMEM((2, G, tz, ty, xq, LANES), dt),      # tbuf
+            mbuf,                                           # mask tile
             pltpu.VMEM((2, tz, ty, xq, LANES), dt),         # upb
             pltpu.VMEM((2, tz, ty, xq, LANES), dt),         # o2b
             pltpu.VMEM((2, tz, ty, xq, LANES), dt),         # fmb
@@ -1660,27 +1742,30 @@ def fused_head_folded(
     else:
         out_shape = f32_shape
         scratch = [
-            pltpu.VMEM((2, G + 1, tz, ty, xq, LANES), dt),
+            pltpu.VMEM((2, G, tz, ty, xq, LANES), dt),
+            mbuf,
             pltpu.VMEM((2, tz, ty, xq, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2, G + 1)),
             pltpu.SemaphoreType.DMA((2, 1)),
         ]
+    w_operands = [whs, woccs, affines, bias2]
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+    if ms > 1:
+        w_operands.append(
+            jnp.asarray(_dup_matrix_local(mask_cpad), jnp.float32)
+        )
+        w_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (G + 1) + [
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wh
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wocc
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ab
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias2
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (G + 1) + w_specs,
         out_specs=(
             tuple(pl.BlockSpec(memory_space=pl.ANY) for _ in out_shape)
             if gate else pl.BlockSpec(memory_space=pl.ANY)
         ),
         out_shape=out_shape,
         scratch_shapes=scratch,
-    )(*xs, mask, whs, woccs, affines, bias2)
+    )(*xs, mask, *w_operands)
 
 
 # ----------------------------------- multi-scale packed surface head (v4)
@@ -1728,17 +1813,16 @@ def _dup_matrix_local(cpad: int) -> np.ndarray:
     return M
 
 
-def _kernel_surfpack(*refs, G, scales, tz, ty, xq, xqs, xbs, relu,
-                     want_mask):
+def _kernel_surfpack(*refs, G, scales, tz, ty, xq, xqs, xbs, relu):
     xrefs = refs[:G]
     mask_ref = refs[G]
-    wh_ref, ab_ref, bias_ref, dup_ref, sel_ref = refs[G + 1:G + 6]
-    outs = refs[G + 6:G + 8] if want_mask else refs[G + 6:G + 7]
-    scr = refs[G + 6 + len(outs):]
+    wh_ref, ab_ref, bias_ref, dup_ref = refs[G + 1:G + 5]
+    out_ref = refs[G + 5]
+    scr = refs[G + 6:]
     tbufs = scr[:G]
     mbuf = scr[G]
-    obufs = scr[G + 1:G + 1 + len(outs)]
-    in_sems, out_sems = scr[G + 1 + len(outs):]
+    obuf = scr[G + 1]
+    in_sems, out_sems = scr[G + 2:]
 
     nz = pl.num_programs(1)
     ny = pl.num_programs(2)
@@ -1747,7 +1831,6 @@ def _kernel_surfpack(*refs, G, scales, tz, ty, xq, xqs, xbs, relu,
     iy = pl.program_id(2)
     k = (b * nz + iz) * ny + iy
     total = pl.num_programs(0) * nz * ny
-    nout = len(outs)
 
     def in_dmas(step, slot):
         bb = step // (nz * ny)
@@ -1779,11 +1862,9 @@ def _kernel_surfpack(*refs, G, scales, tz, ty, xq, xqs, xbs, relu,
 
     @pl.when(k > 1)
     def _():
-        for j in range(nout):
-            pltpu.make_async_copy(
-                obufs[j].at[k % 2], obufs[j].at[k % 2],
-                out_sems.at[k % 2, j],
-            ).wait()
+        pltpu.make_async_copy(
+            obuf.at[k % 2], obuf.at[k % 2], out_sems.at[k % 2]
+        ).wait()
 
     for d in in_dmas(k, k % 2):
         d.wait()
@@ -1829,44 +1910,30 @@ def _kernel_surfpack(*refs, G, scales, tz, ty, xq, xqs, xbs, relu,
     # commutes to one multiply on the summed result (bitwise: x*1 == x,
     # masked-out voxels hold exactly `bias`, matching the raw contract)
     out2 = acc * mt.astype(jnp.float32) + bias_ref[0]
-    rows = tz * ty * xq
-    packed = jnp.dot(
-        out2.reshape(rows, LANES), sel_ref[...],
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,  # one-hot: exact f32 pick
-    )
-    F = sel_ref.shape[1]
-    obufs[0][slot] = packed.reshape(tz, ty, xq, F)
-    if want_mask:
-        mp = jnp.dot(
-            mt.astype(jnp.float32).reshape(rows, LANES), sel_ref[...],
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        obufs[1][slot] = mp.reshape(tz, ty, xq, F)
-    for j in range(nout):
-        pltpu.make_async_copy(
-            obufs[j].at[slot],
-            outs[j].at[b, pl.ds(iz * tz, tz), pl.ds(iy * ty, ty), :, :],
-            out_sems.at[slot, j],
-        ).start()
+    obuf[slot] = out2
+    # interior-only write: the halo ring is never read (the consumer is
+    # unfold, which slices the interior)
+    pltpu.make_async_copy(
+        obuf.at[slot],
+        out_ref.at[b, pl.ds(1 + iz * tz, tz), pl.ds(1 + iy * ty, ty),
+                   :, :],
+        out_sems.at[slot],
+    ).start()
 
     @pl.when(k == total - 1)
     def _():
-        for j in range(nout):
-            pltpu.make_async_copy(
-                obufs[j].at[slot], obufs[j].at[slot], out_sems.at[slot, j]
-            ).wait()
+        pltpu.make_async_copy(
+            obuf.at[slot], obuf.at[slot], out_sems.at[slot]
+        ).wait()
 
     @pl.when((k == total - 2) & (total > 1))
     def _():
-        for j in range(nout):
-            pltpu.make_async_copy(
-                obufs[j].at[slot], obufs[j].at[slot], out_sems.at[slot, j]
-            ).wait()
+        pltpu.make_async_copy(
+            obuf.at[slot], obuf.at[slot], out_sems.at[slot]
+        ).wait()
 
 
-def fused_surf_head_packed(
+def fused_surf_head_ms(
     xs: list,            # G folded grids, group g at 1/scales[g] res
     scales: tuple,       # per-group NN-upsample factor to full res (1/2/4)
     mask: jax.Array,     # FINE mask [B, Z+2, Y+2, xq, 128], 0/1
@@ -1876,22 +1943,24 @@ def fused_surf_head_packed(
     *,
     affines: jax.Array,  # [2, G, 128] f32 (scale, bias)
     relu: bool = True,
-    want_mask: bool = True,
 ):
-    """Surface head over multi-resolution groups -> slot-packed outputs.
+    """Multi-scale surface head -> halo'd folded f32 grid.
 
-    Returns (sdf_packed [B, Z, Y, xq, F] f32, mask_packed same | None):
-    ``packed.reshape(B, Z, Y, xq * F)[..., :X]`` is the dense
-    [B, Z, Y, X] grid — channel-0 extraction happens in-kernel, so no
-    full-width 128-lane f32 grid is ever written to HBM. Bitwise-equal
-    to [upsample2_folded* -> fused_head_folded(gate=False) -> unfold].
+    Each group's head GEMM runs on its NATIVE (coarse) rows — s^3 fewer
+    for a scale-s group — and the NN expansion to full resolution happens
+    in-register on the GEMM RESULTS (x: one-hot lane-dup GEMMs at
+    Precision.HIGHEST, z/y: sublane repeats), so the upsampled group
+    grids never exist in HBM. Bitwise-equal to
+    [upsample2_folded* -> fused_head_folded(gate=False)] on the interior;
+    the halo ring is NOT written (the only consumer, unfold, slices the
+    interior). Output lanes match the composed path (the sdf value on
+    each slot's channel-0 lane, bias-only on dead/masked lanes).
     """
     G = len(xs)
     assert len(scales) == G and scales[0] == 1
     B, Zp, Yp, xq, _ = mask.shape
     Z, Y = Zp - 2, Yp - 2
     dt = xs[0].dtype
-    F = LANES // cpad
     smax = max(scales)
     xqs = []
     for x, s in zip(xs, scales):
@@ -1920,7 +1989,7 @@ def fused_surf_head_packed(
             for g, s in enumerate(scales):
                 cost += 2 * (tz // s) * (ty // s) * xqs[g] * LANES * isz
             cost += R * LANES * 4 * 2           # acc f32 + expand temps
-            cost += 2 * 2 * R * F * 4           # packed obufs
+            cost += 2 * R * LANES * 4           # f32 obuf (2 slots)
             cost += G * LANES * LANES * isz + LANES * 2 * LANES * 4
             if cost <= 11_000_000 and tz * ty > best[0] * best[1]:
                 best = (tz, ty)
@@ -1929,23 +1998,16 @@ def fused_surf_head_packed(
     grid = (B, Z // tz, Y // ty)
     kernel = functools.partial(
         _kernel_surfpack, G=G, scales=tuple(scales), tz=tz, ty=ty, xq=xq,
-        xqs=tuple(xqs), xbs=tuple(xbs), relu=relu, want_mask=want_mask,
-    )
-    nout = 2 if want_mask else 1
-    out_shape = tuple(
-        jax.ShapeDtypeStruct((B, Z, Y, xq, F), jnp.float32)
-        for _ in range(nout)
+        xqs=tuple(xqs), xbs=tuple(xbs), relu=relu,
     )
     dup = jnp.asarray(_dup_matrix_local(cpad), jnp.float32)
-    sel = jnp.asarray(_pack_matrix(cpad), jnp.float32)
     scratch = [
         *[pltpu.VMEM((2, tz // s, ty // s, xqs[g], LANES), dt)
           for g, s in enumerate(scales)],
         pltpu.VMEM((2, tz, ty, xq, LANES), dt),      # mask tiles
-        *[pltpu.VMEM((2, tz, ty, xq, F), jnp.float32)
-          for _ in range(nout)],
+        pltpu.VMEM((2, tz, ty, xq, LANES), jnp.float32),  # obuf
         pltpu.SemaphoreType.DMA((2, G + 1)),
-        pltpu.SemaphoreType.DMA((2, nout)),
+        pltpu.SemaphoreType.DMA((2,)),
     ]
     return pl.pallas_call(
         kernel,
@@ -1955,12 +2017,9 @@ def fused_surf_head_packed(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # affines
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dup
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # sel
         ],
-        out_specs=(
-            tuple(pl.BlockSpec(memory_space=pl.ANY) for _ in range(nout))
-            if want_mask else pl.BlockSpec(memory_space=pl.ANY)
-        ),
-        out_shape=out_shape if want_mask else out_shape[0],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, Zp, Yp, xq, LANES),
+                                       jnp.float32),
         scratch_shapes=scratch,
-    )(*xs, mask, whs, affines, bias_t[None], dup, sel)
+    )(*xs, mask, whs, affines, bias_t[None], dup)

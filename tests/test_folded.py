@@ -761,3 +761,92 @@ def test_surf_head_packed_interpret(rng):
     np.testing.assert_array_equal(np.asarray(got_mask), ref_mask)
     np.testing.assert_array_equal(np.asarray(got_sdf), ref_sdf)
     assert ref_mask.any()
+
+
+def test_upconv_inregister_mask_interpret(rng):
+    """upconv_fused(ffm=None) (fine mask expanded in-register from the
+    coarse mask) == upconv_fused with the materialized fine mask."""
+    import jax.numpy as jnp
+
+    import sgnn_tpu.ops.pallas.conv3d_folded as PC
+    from sgnn_tpu.ops import folded as FO
+
+    B, Zc, Yc, Xc = 1, 8, 16, 24
+    cpad, nf, cout = 16, 4, 6
+    groups = []
+    for _ in range(2):
+        d = rng.randn(B, Zc, Yc, Xc, nf).astype(np.float32)
+        groups.append(FO.fold(jnp.asarray(d), cpad))
+    cm = FO.fold_mask(
+        jnp.asarray(rng.rand(B, Zc, Yc, Xc) < 0.4), cpad, jnp.float32
+    )
+    w27 = jnp.asarray(rng.randn(27, 2 * nf, cout).astype(np.float32) * 0.2)
+    bn_p = {
+        "scale": jnp.asarray(rng.rand(2 * nf).astype(np.float32) + 0.5),
+        "bias": jnp.asarray(rng.randn(2 * nf).astype(np.float32)),
+    }
+    bn_s = {
+        "mean": jnp.asarray(rng.randn(2 * nf).astype(np.float32)),
+        "var": jnp.asarray(rng.rand(2 * nf).astype(np.float32) + 0.2),
+    }
+
+    orig = PC.pl.pallas_call
+    PC.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        ffm = FO.upsample2_folded(cm)
+        ref = FO.upconv_fused(groups, cm, ffm, w27, cout,
+                              bn_params=bn_p, bn_stats=bn_s)
+        got = FO.upconv_fused(groups, cm, None, w27, cout,
+                              bn_params=bn_p, bn_stats=bn_s)
+    finally:
+        PC.pl.pallas_call = orig
+    np.testing.assert_array_equal(np.asarray(got.data),
+                                  np.asarray(ref.data))
+    assert float(np.abs(np.asarray(ref.data)).max()) > 0
+
+
+def test_head_site_coarse_mask_interpret(rng):
+    """head_site_fused(fm_scale=2) (coarse mask expanded in-register) ==
+    fm_scale=1 with the materialized upsampled mask, all four outputs."""
+    import jax.numpy as jnp
+
+    import sgnn_tpu.ops.pallas.conv3d_folded as PC
+    from sgnn_tpu.ops import folded as FO
+
+    B, Zc, Yc, Xc = 1, 8, 8, 16
+    cpad, nf = 16, 6
+    cm = FO.fold_mask(
+        jnp.asarray(rng.rand(B, Zc, Yc, Xc) < 0.5), cpad, jnp.float32
+    )
+    up = FO.fold(
+        jnp.asarray(
+            rng.randn(B, 2 * Zc, 2 * Yc, 2 * Xc, nf).astype(np.float32)
+        ),
+        cpad,
+    )
+    bn_p = {
+        "scale": jnp.asarray(rng.rand(nf).astype(np.float32) + 0.5),
+        "bias": jnp.asarray(rng.randn(nf).astype(np.float32)),
+    }
+    bn_s = {
+        "mean": jnp.asarray(rng.randn(nf).astype(np.float32)),
+        "var": jnp.asarray(rng.rand(nf).astype(np.float32) + 0.2),
+    }
+    W2 = jnp.asarray(rng.randn(nf, 2).astype(np.float32) * 0.5)
+    b2 = jnp.asarray(rng.randn(2).astype(np.float32))
+
+    orig = PC.pl.pallas_call
+    PC.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        fmu = FO.upsample2_folded(cm)
+        refs = FO.head_site_fused(up, fmu, bn_p, bn_s, W2, b2,
+                                  dtype=jnp.float32, emit_raw=False)
+        gots = FO.head_site_fused(up, cm, bn_p, bn_s, W2, b2,
+                                  dtype=jnp.float32, emit_raw=False,
+                                  fm_scale=2)
+    finally:
+        PC.pl.pallas_call = orig
+    for got, ref in zip(gots[:3], refs[:3]):
+        np.testing.assert_array_equal(np.asarray(got.data),
+                                      np.asarray(ref.data))
+    assert float(np.abs(np.asarray(refs[2].data)).max()) > 0

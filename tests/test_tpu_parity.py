@@ -318,3 +318,99 @@ def test_whole_model_parity(int8):
     both = m_got & m_ref
     np.testing.assert_allclose(got[3][both], ref[3][both],
                                rtol=tol, atol=tol)
+
+
+def test_surf_head_ms_parity(rng=None):
+    """Multi-scale surface head: compiled == interpret, exact."""
+    rng = np.random.RandomState(11)
+    B, Z, Y, X = 1, 32, 64, 64
+    cpad, nf = 16, 4
+    scales = (1, 2, 4)
+    groups = [
+        FO.fold(jnp.asarray(
+            rng.randn(B, Z // s, Y // s, X // s, nf).astype(np.float32)
+        ), cpad)
+        for s in scales
+    ]
+    fm = FO.fold_mask(
+        jnp.asarray(rng.rand(B, Z, Y, X) < 0.3), cpad, jnp.float32
+    )
+    C = nf * len(scales)
+    bn_p = {"scale": jnp.asarray(rng.rand(C).astype(np.float32) + 0.5),
+            "bias": jnp.asarray(rng.randn(C).astype(np.float32))}
+    bn_s = {"mean": jnp.asarray(rng.randn(C).astype(np.float32)),
+            "var": jnp.asarray(rng.rand(C).astype(np.float32) + 0.2)}
+    W = jnp.asarray(rng.randn(C, 1).astype(np.float32) * 0.3)
+    bias = jnp.asarray(rng.randn(1).astype(np.float32))
+
+    def run():
+        sdf, mask = FO.surf_head_packed(
+            list(zip(groups, scales)), fm, bn_p, bn_s, W, bias
+        )
+        return sdf, mask
+
+    (got_sdf, got_m), (ref_sdf, ref_m) = _both(run)
+    np.testing.assert_array_equal(got_m, ref_m)
+    np.testing.assert_array_equal(got_sdf, ref_sdf)
+    assert ref_m.any()
+
+
+def test_upconv_inregister_mask_parity():
+    """upconv with the fine mask expanded in-register: compiled ==
+    interpret, exact."""
+    rng = np.random.RandomState(12)
+    B, Zc, Yc, Xc = 1, 16, 32, 32
+    cpad, nf, cout = 16, 4, 6
+    groups = [
+        FO.fold(jnp.asarray(
+            rng.randn(B, Zc, Yc, Xc, nf).astype(np.float32)
+        ), cpad)
+        for _ in range(2)
+    ]
+    cm = FO.fold_mask(
+        jnp.asarray(rng.rand(B, Zc, Yc, Xc) < 0.4), cpad, jnp.float32
+    )
+    w27 = jnp.asarray(rng.randn(27, 2 * nf, cout).astype(np.float32) * 0.2)
+    bn_p = {"scale": jnp.asarray(rng.rand(2 * nf).astype(np.float32) + .5),
+            "bias": jnp.asarray(rng.randn(2 * nf).astype(np.float32))}
+    bn_s = {"mean": jnp.asarray(rng.randn(2 * nf).astype(np.float32)),
+            "var": jnp.asarray(rng.rand(2 * nf).astype(np.float32) + 0.2)}
+
+    def run():
+        return FO.upconv_fused(groups, cm, None, w27, cout,
+                               bn_params=bn_p, bn_stats=bn_s).data
+
+    got, ref = _both(run)
+    np.testing.assert_array_equal(got, ref)
+    assert float(np.abs(ref).max()) > 0
+
+
+def test_head_site_coarse_mask_parity():
+    """head site with fm_scale=2 (coarse mask expanded in-register):
+    compiled == interpret, exact, all three outputs."""
+    rng = np.random.RandomState(13)
+    B, Zc, Yc, Xc = 1, 16, 16, 32
+    cpad, nf = 16, 6
+    cm = FO.fold_mask(
+        jnp.asarray(rng.rand(B, Zc, Yc, Xc) < 0.5), cpad, jnp.float32
+    )
+    up = FO.fold(jnp.asarray(
+        rng.randn(B, 2 * Zc, 2 * Yc, 2 * Xc, nf).astype(np.float32)
+    ), cpad)
+    bn_p = {"scale": jnp.asarray(rng.rand(nf).astype(np.float32) + 0.5),
+            "bias": jnp.asarray(rng.randn(nf).astype(np.float32))}
+    bn_s = {"mean": jnp.asarray(rng.randn(nf).astype(np.float32)),
+            "var": jnp.asarray(rng.rand(nf).astype(np.float32) + 0.2)}
+    W2 = jnp.asarray(rng.randn(nf, 2).astype(np.float32) * 0.5)
+    b2 = jnp.asarray(rng.randn(2).astype(np.float32))
+
+    def run():
+        outs = FO.head_site_fused(up, cm, bn_p, bn_s, W2, b2,
+                                  dtype=jnp.float32, emit_raw=False,
+                                  fm_scale=2)
+        return tuple(o.data for o in outs[:3])
+
+    got, ref = _both(run)
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(g, r)
+    assert float(np.abs(ref[2]).max()) > 0
