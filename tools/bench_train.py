@@ -169,8 +169,10 @@ def main():
                 t = time.perf_counter()
                 if args.window > 1:
                     if t_win is not None and done > args.warmup:
-                        win_times.append((t - t_win) / args.window)
-                    t_win = t
+                        # final window may be partial: divide by the
+                        # steps it actually contains
+                        win_times.append((t - t_win[0]) / (done - t_win[1]))
+                    t_win = (t, done)
             if args.window <= 1:
                 t = time.perf_counter()
                 if t_prev is not None:
