@@ -20,10 +20,13 @@ def bilateral_filter(depth: np.ndarray, sigma_d: float = 2.0,
     """
     r = int(np.ceil(2.0 * sigma_d))
     valid = np.isfinite(depth)
-    d = np.where(valid, depth, 0.0).astype(np.float64)
+    # f32 throughout: depth is metric (<= ~10), the 81-tap weighted sum
+    # stays well inside f32 precision, and the filter is a third of the
+    # per-scene datagen cost
+    d = np.where(valid, depth, 0.0).astype(np.float32)
     H, W = depth.shape
-    acc = np.zeros((H, W), np.float64)
-    wacc = np.zeros((H, W), np.float64)
+    acc = np.zeros((H, W), np.float32)
+    wacc = np.zeros((H, W), np.float32)
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
             g = np.exp(-(dx * dx + dy * dy) / (2.0 * sigma_d * sigma_d))

@@ -30,13 +30,70 @@ training loader's zyx flip (data_util.py:75) behaves identically.
 
 from __future__ import annotations
 
+import ctypes
 import dataclasses
+import os
+import subprocess
+import threading
 
 import numpy as np
 
 DEPTH_MIN = 0.4
 DEPTH_MAX = 4.0
 INTEGRATION_WEIGHT_SAMPLE = 3.0
+
+# ------------------------------------------------ native integrate core
+# cpp/fuse.cpp: the per-frame projection + TSDF update loop in C++
+# (OpenMP), the counterpart of the reference's VoxelGrid::integrate hot
+# loop (VoxelGrid.cpp:12-63). Numerics match _frame_updates bit-for-bit
+# (tests/test_datagen.py); integrate() falls back to the numpy slab
+# update when the .so is unavailable (SGNN_TPU_NO_NATIVE=1 forces it).
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_FUSE_SO = os.path.join(_DIR, "cpp", "libfuse.so")
+_FUSE_LOCK = threading.Lock()
+_FUSE_LIB = None
+_FUSE_TRIED = False
+
+
+def _get_fuse_lib():
+    global _FUSE_LIB, _FUSE_TRIED
+    if os.environ.get("SGNN_TPU_NO_NATIVE"):
+        return None
+    with _FUSE_LOCK:
+        if _FUSE_LIB is not None or _FUSE_TRIED:
+            return _FUSE_LIB
+        _FUSE_TRIED = True
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.join(_DIR, "cpp"), "-s"],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            if not os.path.exists(_FUSE_SO):
+                return None
+        try:
+            lib = ctypes.CDLL(_FUSE_SO)
+            f32p = ctypes.POINTER(ctypes.c_float)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            lib.tsdf_integrate.restype = None
+            lib.tsdf_integrate.argtypes = [
+                f32p, f32p, i32p,                      # sdf, weight, free
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                f32p, f32p,                            # grid2world, world2cam
+                ctypes.c_float, ctypes.c_float,        # fx, fy
+                ctypes.c_float, ctypes.c_float,        # cx, cy
+                f32p, ctypes.c_int32, ctypes.c_int32,  # depth, W, H
+                ctypes.c_float,                        # voxel_size
+                ctypes.c_float, ctypes.c_float,        # depth_min/max
+                ctypes.c_float, ctypes.c_float,        # d01 ramp min/max
+                ctypes.c_float,                        # weight_sample
+                i32p, i32p,                            # lo, hi
+                f32p,                                  # obb or NULL
+            ]
+            _FUSE_LIB = lib
+        except OSError:
+            _FUSE_LIB = None
+        return _FUSE_LIB
 
 
 @dataclasses.dataclass
@@ -115,6 +172,10 @@ class VoxelGrid:
         lo, hi = self._frustum_bounds(intrinsic, cam2world, depth.shape)
         if (hi < lo).any():
             return
+        lib = None if color is not None else _get_fuse_lib()
+        if lib is not None:
+            self._integrate_native(lib, intrinsic, cam2world, depth, lo, hi)
+            return
         xs = np.arange(lo[0], hi[0] + 1)
         ys = np.arange(lo[1], hi[1] + 1)
         zs = np.arange(lo[2], hi[2] + 1)
@@ -137,6 +198,52 @@ class VoxelGrid:
                 pts_grid, sl, upd, old_w, new_w, intrinsic, cam2world,
                 depth.shape, color,
             )
+
+    def _integrate_native(self, lib, intrinsic, cam2world, depth, lo, hi):
+        """cpp/fuse.cpp:tsdf_integrate — in-place update of the slab."""
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+
+        def fp(a):
+            return a.ctypes.data_as(f32p)
+
+        def ip(a):
+            return a.ctypes.data_as(i32p)
+
+        world2cam = np.linalg.inv(np.asarray(cam2world, np.float64)).astype(
+            np.float32
+        )
+        g2w = np.ascontiguousarray(self.grid2world, np.float32)
+        w2c = np.ascontiguousarray(world2cam, np.float32)
+        d = np.ascontiguousarray(depth, np.float32)
+        lo32 = np.asarray(lo, np.int32)
+        hi32 = np.asarray(hi, np.int32)
+        obb_arr = None
+        if self.obb is not None:
+            obb_arr = np.ascontiguousarray(
+                np.concatenate([
+                    np.asarray(self.obb.center, np.float32).ravel(),
+                    np.asarray(self.obb.axes, np.float32).ravel(),
+                    np.asarray(self.obb.half, np.float32).ravel(),
+                ]), np.float32,
+            )
+        H, W = depth.shape
+        lib.tsdf_integrate(
+            fp(self.sdf), fp(self.weight), ip(self.free_ctr),
+            *(ctypes.c_int32(v) for v in self.dims),
+            fp(g2w), fp(w2c),
+            ctypes.c_float(float(intrinsic[0, 0])),
+            ctypes.c_float(float(intrinsic[1, 1])),
+            ctypes.c_float(float(intrinsic[0, 2])),
+            ctypes.c_float(float(intrinsic[1, 2])),
+            fp(d), ctypes.c_int32(W), ctypes.c_int32(H),
+            ctypes.c_float(self.voxel_size),
+            ctypes.c_float(self.depth_min), ctypes.c_float(self.depth_max),
+            ctypes.c_float(DEPTH_MIN), ctypes.c_float(DEPTH_MAX),
+            ctypes.c_float(INTEGRATION_WEIGHT_SAMPLE),
+            ip(lo32), ip(hi32),
+            fp(obb_arr) if obb_arr is not None else None,
+        )
 
     def _integrate_color(self, pts_grid, sl, upd, old_w, new_w, intrinsic,
                          cam2world, hw, color):

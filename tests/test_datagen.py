@@ -347,3 +347,56 @@ def test_lighting_and_material():
             np.testing.assert_array_equal(m.diffuse, m2.diffuse)
             np.testing.assert_array_equal(m.specular, m2.specular)
             assert m.shiny == m2.shiny
+
+
+def test_native_integrate_parity(rng, monkeypatch):
+    """cpp/fuse.cpp == the numpy slab update, bit-for-bit (sdf, weight,
+    free_ctr), with and without an OBB and across invalid/zero/out-of-
+    range depth pixels."""
+    if FU._get_fuse_lib() is None:
+        pytest.skip("native fuse lib unavailable")
+    W, H = 64, 48
+    intr = _intrinsic(40.0, 40.0, (W - 1) / 2, (H - 1) / 2)
+    dims = (40, 36, 30)
+    w2g = np.eye(4, dtype=np.float32)
+    w2g[:3, :3] *= 1.0 / 0.05
+    w2g[:3, 3] = [8, 6, 4]
+    for use_obb in (False, True):
+        obb = None
+        if use_obb:
+            obb = FU.OBB(
+                center=np.array([20.0, 18.0, 15.0]),
+                axes=np.eye(3),
+                half=np.array([25.0, 22.0, 18.0]),
+            )
+        grids = []
+        for native in (False, True):
+            if native:
+                monkeypatch.delenv("SGNN_TPU_NO_NATIVE", raising=False)
+            else:
+                monkeypatch.setenv("SGNN_TPU_NO_NATIVE", "1")
+            g = FU.VoxelGrid(dims, w2g, 0.05, obb)
+            r = np.random.RandomState(7)
+            for k in range(5):
+                th = 2 * np.pi * k / 5
+                pose = np.eye(4, dtype=np.float32)
+                fwd = np.array([np.cos(th), np.sin(th), 0.0])
+                up = np.array([0.0, 0.0, 1.0])
+                right = np.cross(fwd, up)
+                pose[:3, 0], pose[:3, 1], pose[:3, 2] = right, -up, fwd
+                pose[:3, 3] = [1.1, 0.9, 0.7]
+                d = r.uniform(0.2, 4.6, (H, W)).astype(np.float32)
+                d[r.rand(H, W) < 0.1] = -np.inf   # invalid pixels
+                d[r.rand(H, W) < 0.05] = 0.0      # below depth_min
+                with np.errstate(invalid="ignore"):
+                    g.integrate(intr, pose, d)
+            grids.append(g)
+        ref, nat = grids
+        assert np.isfinite(ref.sdf).sum() > 1000  # non-trivial case
+        np.testing.assert_array_equal(
+            np.isfinite(ref.sdf), np.isfinite(nat.sdf)
+        )
+        m = np.isfinite(ref.sdf)
+        np.testing.assert_array_equal(ref.sdf[m], nat.sdf[m])
+        np.testing.assert_array_equal(ref.weight, nat.weight)
+        np.testing.assert_array_equal(ref.free_ctr, nat.free_ctr)

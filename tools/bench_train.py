@@ -169,9 +169,14 @@ def main():
                 t = time.perf_counter()
                 if args.window > 1:
                     if t_win is not None and done > args.warmup:
-                        # final window may be partial: divide by the
-                        # steps it actually contains
-                        win_times.append((t - t_win[0]) / (done - t_win[1]))
+                        # final window may be partial: divide by the steps
+                        # it actually contains, but drop windows shorter
+                        # than half the nominal size — the single
+                        # completion-fetch RTT amortizes over too few
+                        # steps there and biases the sample high
+                        n = done - t_win[1]
+                        if n >= max(1, args.window // 2):
+                            win_times.append((t - t_win[0]) / n)
                     t_win = (t, done)
             if args.window <= 1:
                 t = time.perf_counter()
@@ -180,7 +185,12 @@ def main():
                 t_prev = t
             if done >= args.steps + args.warmup:
                 break
-        t_prev = None  # epoch boundary: don't time the loader restart
+        # epoch boundary: per-step mode excludes the loader restart (it
+        # times single steps); windowed mode INTENTIONALLY keeps t_win
+        # running across the boundary — sustained throughput includes
+        # loader restarts, and at the default 8-steps/epoch a reset here
+        # would kill every window before its fetch point
+        t_prev = None
 
     if args.window > 1:
         steady = np.array(win_times)
