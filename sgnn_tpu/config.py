@@ -60,6 +60,10 @@ class SGNNConfig:
     # (true for np.nonzero-derived dataset rows): lets the binned Pallas
     # input scatter skip its device sort (ops/pallas/scatter_folded.py)
     input_presorted: bool = False
+    # folded training: fuse train-mode BN+ReLU into the conv-site Pallas
+    # kernels (ops/folded.py:bn_conv_folded_train). False = the composed
+    # [bn_folded -> subm_conv_folded_train] path (ablation/debug only)
+    fuse_train_bn: bool = True
 
     def __post_init__(self):
         assert self.num_hierarchy_levels > 1, "must be > 1 (train.py:61)"

@@ -66,9 +66,10 @@ def _mask_bn_f(params, stats, groups, fm, *, training, axis_name,
     return outs, new_stats
 
 
-def _resblock_f(params, stats, fg, fm, *, training, axis_name):
+def _resblock_f(params, stats, fg, fm, *, training, axis_name,
+                fuse_bn=True):
     s = {}
-    if training:
+    if training and fuse_bn:
         # fused [batch BN+ReLU -> conv] sites: normalize rides the conv
         # kernel's input affine (ops/folded.py:bn_conv_folded_train) —
         # no standalone full-grid normalize pass per site
@@ -143,11 +144,13 @@ def _strided_site_cross_f(y, fm, w8, cout, cpad_out):
     )
 
 
-def _unet_f(params, stats, groups, fm, *, training, axis_name):
+def _unet_f(params, stats, groups, fm, *, training, axis_name,
+            fuse_bn=True):
     s = {}
     assert len(groups) == 1
     x, s["block"] = _resblock_f(params["block"], stats["block"], groups[0],
-                                fm, training=training, axis_name=axis_name)
+                                fm, training=training, axis_name=axis_name,
+                                fuse_bn=fuse_bn)
     if "deeper" not in params:
         return [x], s
     y, s["down_bn"] = _mask_bn_f(params["down_bn"], stats["down_bn"], [x],
@@ -156,7 +159,7 @@ def _unet_f(params, stats, groups, fm, *, training, axis_name):
                                     params["down_conv"].shape[-1])
     deep, s["deeper"] = _unet_f(params["deeper"], stats["deeper"], [down],
                                 down_fm, training=training,
-                                axis_name=axis_name)
+                                axis_name=axis_name, fuse_bn=fuse_bn)
     ups = []
     for d in deep:
         u = FO.upsample2_folded(d)
@@ -165,12 +168,13 @@ def _unet_f(params, stats, groups, fm, *, training, axis_name):
 
 
 def _encoder_layer_f(params, stats, groups, fm, *, training, axis_name,
-                     cpad_out=None):
+                     cpad_out=None, fuse_bn=True):
     s = {}
     x = FO.subm_conv_folded_train(groups, fm, params["p1"],
                                 params["p1"].shape[-1])
     x, s["p2"] = _resblock_f(params["p2"], stats["p2"], x, fm,
-                             training=training, axis_name=axis_name)
+                             training=training, axis_name=axis_name,
+                             fuse_bn=fuse_bn)
     y, s["p2_bn"] = _mask_bn_f(params["p2_bn"], stats["p2_bn"], [x], fm,
                                training=training, axis_name=axis_name)
     if cpad_out is not None and cpad_out != y[0].cpad:
@@ -207,9 +211,12 @@ def genmodel_apply_folded_train(params, stats, cfg: SGNNConfig,
 
     # ---- encoder sparse levels (checkpointed: level-0 residuals are
     # full-resolution, matching dense_flow's placement)
+    fuse_bn = cfg.fuse_train_bn
+
     def enc_layer(p, st_l, x, m, co):
         return _encoder_layer_f(p, st_l, [x], m, training=training,
-                                axis_name=axis_name, cpad_out=co)
+                                axis_name=axis_name, cpad_out=co,
+                                fuse_bn=fuse_bn)
 
     if training:
         enc_layer = jax.checkpoint(enc_layer, static_argnums=(4,))
@@ -259,7 +266,8 @@ def genmodel_apply_folded_train(params, stats, cfg: SGNNConfig,
         z = FO.subm_conv_folded_train(cur, cur_fm, p["p1"],
                                     p["p1"].shape[-1])
         zg, s_h["p2"] = _unet_f(p["p2"], st_h["p2"], [z], cur_fm,
-                                training=training, axis_name=axis_name)
+                                training=training, axis_name=axis_name,
+                                fuse_bn=fuse_bn)
         zb, s_h["p3"] = _mask_bn_f(p["p3"], st_h["p3"], zg, cur_fm,
                                    training=training, axis_name=axis_name)
         fm_unfilt = FO.upsample2_folded(cur_fm)
@@ -313,7 +321,8 @@ def genmodel_apply_folded_train(params, stats, cfg: SGNNConfig,
             z = FO.subm_conv_folded_train(cur, cur_fm, p["p1"],
                                         p["p1"].shape[-1])
             zg, s_s["p2"] = _unet_f(p["p2"], st_s["p2"], [z], cur_fm,
-                                    training=training, axis_name=axis_name)
+                                    training=training, axis_name=axis_name,
+                                    fuse_bn=fuse_bn)
             zb, s_s["p3"] = _mask_bn_f(p["p3"], st_s["p3"], zg, cur_fm,
                                        training=training,
                                        axis_name=axis_name)

@@ -81,6 +81,9 @@ class TrainOptions:
     # train/step.py:_densify_rows) — ~10x fewer H2D bytes than the dense
     # grids the reference transfers (train.py:256-261)
     sparse_targets: bool = False
+    # folded execution: fuse train-mode BN into the conv-site kernels
+    # (False = composed BN->conv, ablation only)
+    fuse_train_bn: bool = True
 
 
 class Trainer:
@@ -107,6 +110,7 @@ class Trainer:
             occupancy_fractions=tuple(opts.occupancy_fractions),
             execution=opts.execution,
             compute_dtype=opts.compute_dtype,
+            fuse_train_bn=opts.fuse_train_bn,
         )
         key = jax.random.PRNGKey(opts.seed)
         params, stats = M.genmodel_init(key, self.cfg)

@@ -72,6 +72,9 @@ def main():
     ap.add_argument("--dense_transfer", action="store_true",
                     help="ship dense target grids (the pre-round-3 "
                          "layout) instead of sparse rows")
+    ap.add_argument("--no_fuse_train_bn", action="store_true",
+                    help="folded ablation: composed BN->conv instead of "
+                         "the fused train-BN kernels")
     args = ap.parse_args()
 
     import jax
@@ -112,6 +115,7 @@ def main():
         save_epoch=0,
         save=os.path.join(tmp, "logs"),
         sparse_targets=not args.dense_transfer,
+        fuse_train_bn=not args.no_fuse_train_bn,
     )
     # num_iters_per_level=0 would divide by zero in the schedule; emulate
     # "all active" by starting the iteration counter past the fade-in
