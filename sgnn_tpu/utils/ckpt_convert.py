@@ -179,6 +179,85 @@ def convert_state_dict(state_dict, cfg, params, stats):
     return params, stats
 
 
+def export_state_dict(params, stats, cfg):
+    """Inverse of convert_state_dict: our (params, stats) pytrees -> the
+    exact scn state_dict layout (the reference module tree,
+    /root/reference/torch/model.py). Involution with convert_state_dict
+    is bit-exact (tests/test_ckpt_convert.py), which certifies the
+    converter's mapping on TRAINED weights — and lets a model trained
+    here be loaded by the reference code (torch.save({'epoch':...,
+    'state_dict': sd, 'optimizer': {}}, path))."""
+    import jax
+
+    def f32(t):
+        return jax.tree_util.tree_map(
+            lambda v: np.asarray(jax.device_get(v), np.float32), t
+        )
+
+    params = f32(params)
+    stats = f32(stats)
+    sd = {}
+
+    def bn(prefix, p, s):
+        sd[f"{prefix}.weight"] = p["scale"]
+        sd[f"{prefix}.bias"] = p["bias"]
+        sd[f"{prefix}.running_mean"] = s["mean"]
+        sd[f"{prefix}.running_var"] = s["var"]
+
+    def linear(prefix, leaf):
+        sd[f"{prefix}.weight"] = np.ascontiguousarray(leaf["weight"].T)
+        sd[f"{prefix}.bias"] = leaf["bias"]
+
+    def resblock(prefix, p, s):
+        bn(f"{prefix}.1.0", p["bn0"], s["bn0"])
+        sd[f"{prefix}.1.1.weight"] = p["conv0"]
+        bn(f"{prefix}.1.2", p["bn1"], s["bn1"])
+        sd[f"{prefix}.1.3.weight"] = p["conv1"]
+
+    def unet(prefix, p, s):
+        resblock(f"{prefix}.0", p["block"], s["block"])
+        if "deeper" in p:
+            bn(f"{prefix}.2.1.0", p["down_bn"], s["down_bn"])
+            sd[f"{prefix}.2.1.1.weight"] = p["down_conv"]
+            unet(f"{prefix}.2.1.2", p["deeper"], s["deeper"])
+
+    for k in range(len(cfg.nf_per_level)):
+        p = params["encoder"]["process_sparse"][k]
+        s = stats["encoder"]["process_sparse"][k]
+        pre = f"encoder.process_sparse.{k}"
+        sd[f"{pre}.p1.weight"] = p["p1"]
+        resblock(f"{pre}.p2.0", p["p2"], s["p2"])
+        bn(f"{pre}.p2.2", p["p2_bn"], s["p2_bn"])
+        sd[f"{pre}.p3.0.weight"] = p["p3"]
+        bn(f"{pre}.p3.1", p["p3_bn"], s["p3_bn"])
+    for name in (
+        "encode_dense0", "encode_dense1", "bottleneck_dense2",
+        "decode_dense3", "decode_dense4", "final",
+    ):
+        sd[f"encoder.{name}.0.weight"] = params["encoder"][name]["conv"]
+        bn(f"encoder.{name}.1", params["encoder"][name]["bn"],
+           stats["encoder"][name]["bn"])
+    sd["encoder.occpred.0.weight"] = params["encoder"]["occpred"]
+    sd["encoder.sdfpred.0.weight"] = params["encoder"]["sdfpred"]
+    for h in range(cfg.num_refine_levels):
+        p = params["refinement"][h]
+        s = stats["refinement"][h]
+        pre = f"refinement.{h}"
+        sd[f"{pre}.p1.weight"] = p["p1"]
+        unet(f"{pre}.p2", p["p2"], s["p2"])
+        bn(f"{pre}.p3", p["p3"], s["p3"])
+        sd[f"{pre}.n1.weight"] = p["n1"]
+        bn(f"{pre}.n2", p["n2"], s["n2"])
+        linear(f"{pre}.linear", p["linear"])
+        linear(f"{pre}.linearsdf", p["linearsdf"])
+    p, s = params["surfacepred"], stats["surfacepred"]
+    sd["surfacepred.p1.weight"] = p["p1"]
+    unet("surfacepred.p2", p["p2"], s["p2"])
+    bn("surfacepred.p3", p["p3"], s["p3"])
+    linear("surfacepred.linear", p["linear"])
+    return sd
+
+
 def expected_state_dict_spec(cfg):
     """{key: shape} of the reference state_dict for this config — used by
     tests and to pre-validate a checkpoint before conversion."""

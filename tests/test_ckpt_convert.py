@@ -142,3 +142,65 @@ def test_tap_order_flip(tmp_path, rng):
     for k, v in {"/".join(map(str, k)): v for k, v
                  in jax.tree_util.tree_flatten_with_path(p2)[0]}.items():
         np.testing.assert_array_equal(np.asarray(v), flat_c[k])
+
+
+def _assert_tree_equal(a, b, path=""):
+    if isinstance(a, dict):
+        assert set(a) == set(b), f"{path}: keys {set(a)} != {set(b)}"
+        for k in a:
+            _assert_tree_equal(a[k], b[k], f"{path}.{k}")
+    elif isinstance(a, (list, tuple)):
+        assert len(a) == len(b), path
+        for i, (x, y) in enumerate(zip(a, b)):
+            _assert_tree_equal(x, y, f"{path}[{i}]")
+    else:
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            err_msg=path,
+        )
+
+
+def _involution_check(params, stats):
+    """export -> (layout == reference spec) -> convert back -> bit-equal."""
+    sd = CC.export_state_dict(params, stats, CFG)
+    spec = CC.expected_state_dict_spec(CFG)
+    assert set(sd) == set(spec), (
+        f"exported keys diverge from the reference layout: "
+        f"extra={sorted(set(sd) - set(spec))[:5]} "
+        f"missing={sorted(set(spec) - set(sd))[:5]}"
+    )
+    for k, v in sd.items():
+        assert tuple(v.shape) == tuple(spec[k]), (k, v.shape, spec[k])
+    p0, s0 = genmodel_init(jax.random.PRNGKey(9), CFG)  # fresh templates
+    p2, s2 = CC.convert_state_dict(sd, CFG, p0, s0)
+    _assert_tree_equal(params, p2, "params")
+    _assert_tree_equal(stats, s2, "stats")
+
+
+def test_export_involution_random_init():
+    """export_state_dict o convert_state_dict == identity, and the
+    exported key/shape set IS the reference layout
+    (/root/reference/torch/test_scene.py:61-62 load contract)."""
+    params, stats = genmodel_init(jax.random.PRNGKey(4), CFG)
+    _involution_check(params, stats)
+
+
+def test_export_involution_trained_ckpt():
+    """Same involution on a TRAINED checkpoint (realistic weight/BN-stat
+    values, not random init): point SGNN_TRAINED_CKPT at a .ckpt from
+    tools/train.py with the default architecture (encoder_dim 8, nf 16,
+    L=4)."""
+    import os
+
+    path = os.environ.get("SGNN_TRAINED_CKPT", "")
+    if not path:
+        pytest.skip("set SGNN_TRAINED_CKPT=<model.ckpt> to run")
+    from sgnn_tpu.train.checkpoint import load_checkpoint
+    from sgnn_tpu.train.state import create_train_state
+
+    params, stats = genmodel_init(jax.random.PRNGKey(0), CFG)
+    state, _ = load_checkpoint(path, create_train_state(params, stats))
+    # trained BN stats must be non-degenerate or the test proves nothing
+    v = np.asarray(state.stats["surfacepred"]["p3"]["var"])
+    assert np.abs(v - 1.0).max() > 1e-3, "BN stats look untrained"
+    _involution_check(state.params, state.stats)

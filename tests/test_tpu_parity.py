@@ -414,3 +414,57 @@ def test_head_site_coarse_mask_parity():
     for g, r in zip(got, ref):
         np.testing.assert_array_equal(g, r)
     assert float(np.abs(ref[2]).max()) > 0
+
+
+def test_int8_mesh_chamfer():
+    """Task-level int8 acceptance: the MESH a user gets from the int8
+    serving mode (cfg.quantize_int8, the 48 scenes/sec path) stays within
+    a fraction of a voxel (chamfer) of the bf16 mesh — ties the kernel-
+    level int8 approximation to the save_predictions output contract
+    (/root/reference/torch/data_util.py:250-284)."""
+    import dataclasses
+
+    from scipy.spatial import cKDTree
+
+    import test_folded_model as TFM
+    from sgnn_tpu.config import SGNNConfig
+    from sgnn_tpu.meshing.marching_cubes import run_marching_cubes
+    from sgnn_tpu.models import folded_flow as FF
+    from sgnn_tpu.models import sgnn as M
+
+    cfg = SGNNConfig(
+        encoder_dim=8, input_dim=(64, 96, 96), nf_coarse=16, nf=16,
+        num_hierarchy_levels=4, batch_size=1, execution="folded",
+        compute_dtype="bfloat16", occupancy_fractions=(1.0, 0.5, 0.3, 0.15),
+        use_pallas_conv=True,
+    )
+    params, stats = M.genmodel_init(jax.random.PRNGKey(3), cfg)
+    st = TFM._surface_inputs(cfg)
+
+    def mesh(quant):
+        c = dataclasses.replace(cfg, quantize_int8=quant)
+        fwd = jax.jit(lambda p, s: FF.genmodel_apply_folded(
+            p, s, c, st, num_refine_active=c.num_refine_levels,
+            do_surf=True,
+        ))
+        out = fwd(params, stats)
+        mask = np.asarray(out.surf_mask[0])
+        sdf = np.asarray(out.surf_sdf[0], np.float32)
+        assert mask.sum() > 1000, "degenerate surface"
+        dense = np.where(mask, sdf, -np.inf)
+        verts, _, faces = run_marching_cubes(
+            dense, None, 0.0, cfg.truncation - 0.1, 10.0
+        )
+        assert len(verts) > 1000 and len(faces) > 0
+        return verts
+
+    v_bf16 = mesh(False)
+    v_int8 = mesh(True)
+    d_ab = cKDTree(v_int8).query(v_bf16, workers=-1)[0]
+    d_ba = cKDTree(v_bf16).query(v_int8, workers=-1)[0]
+    chamfer = 0.5 * (d_ab.mean() + d_ba.mean())
+    p95 = max(np.percentile(d_ab, 95), np.percentile(d_ba, 95))
+    print(f"int8 mesh chamfer={chamfer:.4f} voxels, p95={p95:.4f}")
+    # 2 cm voxels: mean < 0.15 voxel (3 mm), p95 < 1 voxel (2 cm)
+    assert chamfer < 0.15, f"int8 mesh drifted: chamfer {chamfer:.4f} vox"
+    assert p95 < 1.0, f"int8 mesh tail drifted: p95 {p95:.4f} vox"

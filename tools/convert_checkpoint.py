@@ -1,8 +1,12 @@
 #!/usr/bin/env python
-"""Convert a reference sgnn.pth checkpoint to an sgnn_tpu .ckpt.
+"""Convert checkpoints both ways between the reference .pth layout
+(torch/test_scene.py:61-62 load contract) and sgnn_tpu .ckpt.
 
-Example:
+Examples:
     python tools/convert_checkpoint.py --input sgnn.pth --output sgnn.ckpt
+    python tools/convert_checkpoint.py --input model-epoch-31.ckpt \
+        --output sgnn_export.pth      # export OUR trained model for the
+                                      # reference code (needs torch)
 """
 
 import argparse
@@ -48,6 +52,31 @@ def main():
         use_skip_dense=bool(args.use_skip_dense),
         batch_size=1,
     )
+    if args.input.endswith(".ckpt") and args.output.endswith(".pth"):
+        # export direction: .ckpt -> reference state_dict (.pth)
+        import torch
+
+        from sgnn_tpu.models.sgnn import genmodel_init
+        from sgnn_tpu.train.checkpoint import load_checkpoint
+        from sgnn_tpu.utils.ckpt_convert import export_state_dict
+
+        params, stats = genmodel_init(jax.random.PRNGKey(0), cfg)
+        state, meta = load_checkpoint(
+            args.input, create_train_state(params, stats)
+        )
+        sd = export_state_dict(state.params, state.stats, cfg)
+        torch.save(
+            {
+                "epoch": meta.get("epoch", 0),
+                "state_dict": {k: torch.from_numpy(v)
+                               for k, v in sd.items()},
+                "optimizer": {},
+            },
+            args.output,
+        )
+        print(f"exported {args.input} -> {args.output} "
+              f"({len(sd)} state_dict keys)")
+        return
     params, stats, meta = load_reference_checkpoint(args.input, cfg)
     state = create_train_state(params, stats)
     save_checkpoint(

@@ -59,6 +59,10 @@ def parse_args():
                    help="scn filter-tap enumeration convention for .pth "
                         "conversion; certify with tools/evaluate.py "
                         "--tap_order auto")
+    p.add_argument("--mesh_workers", type=int, default=2,
+                   help="host meshing worker threads (the native MC core "
+                        "releases the GIL and is itself OpenMP-parallel; "
+                        "size to spare cores, see tools/bench_mesh.py)")
     args = p.parse_args()
     assert not (args.no_pass_feats and args.no_pass_occ)
     assert args.num_hierarchy_levels > 1
@@ -139,7 +143,8 @@ def main():
     # (test_scene.py:96-100 only exports inputs + surface SDF);
     # want_levels=False skips fetching them entirely.
     inferencer = SceneInferencer(cfg, params, stats, want_levels=False)
-    stats_out = run_pipeline(inferencer, ds, args.output, args.truncation)
+    stats_out = run_pipeline(inferencer, ds, args.output, args.truncation,
+                             mesh_workers=args.mesh_workers)
     times = stats_out["scene_times"]
     if len(times) > 1:
         print(f"\ndone; mean scene->mesh time {np.mean(times[1:]):.3f}s "
@@ -151,7 +156,7 @@ def main():
 
 
 def run_pipeline(inferencer, ds, output, truncation, max_scenes=None,
-                 save=True):
+                 save=True, mesh_workers=2):
     """Scene->mesh pipeline: overlap scene i+1's device forward with
     scene i's fetch + host meshing (marching cubes + weld + PLY run in a
     worker thread; the native MC core releases the GIL).
@@ -182,7 +187,7 @@ def run_pipeline(inferencer, ds, output, truncation, max_scenes=None,
         )
         return result["name"]
 
-    pool = ThreadPoolExecutor(max_workers=2)
+    pool = ThreadPoolExecutor(max_workers=max(1, mesh_workers))
     pending = None  # (t0, handle) of the scene in flight
     skipped = 0
     try:
