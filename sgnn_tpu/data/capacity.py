@@ -51,12 +51,12 @@ def estimate_row_capacities(
     (SceneDataset(sparse_targets=True) / collate_sparse).
 
     Scans up to ``sample`` chunks, counts target and per-level hierarchy
-    rows AFTER the lossless val > -truncation thinning (see
-    SceneDataset._get_chunk_sparse), and sizes whole-batch capacities as
-    batch_size * quantile-count * margin, rounded up. Overflow beyond the
-    capacity drops rows (counted and warned per step); the quantile +
-    margin make that rare, and overflow only perturbs — never crashes —
-    the loss.
+    rows AFTER the lossless open-band thinning (-trunc < val < trunc —
+    saturated rows ship as bit planes, see SceneDataset.
+    _get_chunk_sparse), and sizes whole-batch capacities as batch_size *
+    quantile-count * margin, rounded up. Overflow beyond the capacity
+    drops rows (counted and warned per step); the quantile + margin make
+    that rare, and overflow only perturbs — never crashes — the loss.
 
     Returns (target_capacity, hier_capacities[num_hierarchy_levels - 1]).
     """
@@ -75,10 +75,14 @@ def estimate_row_capacities(
         hier = c.hierarchy
         if num_hierarchy_levels < 4:
             hier = hier[4 - num_hierarchy_levels:]
-        t_counts.append(int((c.target_vals > -truncation).sum()))
-        h_counts.append(
-            [int((vals > -truncation).sum()) for _, vals in hier]
-        )
+        t_counts.append(int(
+            ((c.target_vals > -truncation)
+             & (c.target_vals < truncation)).sum()
+        ))
+        h_counts.append([
+            int(((vals > -truncation) & (vals < truncation)).sum())
+            for _, vals in hier
+        ])
     if not t_counts:
         raise ValueError("no readable chunks to size row capacities from")
 

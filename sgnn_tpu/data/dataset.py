@@ -86,33 +86,62 @@ class SceneDataset:
     def _get_chunk_sparse(self, path):
         """Chunk sample with target + hierarchy as sparse rows.
 
-        Lossless target thinning: rows with val <= -truncation are dropped
-        here because after on-device densify (default -inf) + clamping
-        (losses.preprocess_sdf) they are indistinguishable from missing
-        voxels — clamp(-inf) == clamp(val <= -trunc) == -truncation, and
-        both yield occupancy 0 (|val| >= truncation). This removes the
-        whole behind-surface band the datagen stores at truncFactor 6
-        (/root/reference/datagen/.../Fuser.cpp:34), roughly halving the
-        rows shipped.
+        Lossless target thinning — everything the loss consumes goes
+        through losses.preprocess_sdf's clamp to ±truncation, so only the
+        open band (-trunc, trunc) carries information as VALUES:
+
+          * rows with val <= -truncation are dropped: after on-device
+            densify (default -inf) + clamp they are indistinguishable
+            from missing voxels. This removes the behind-surface band the
+            datagen stores at truncFactor 6
+            (/root/reference/datagen/.../Fuser.cpp:34).
+          * rows with val >= +truncation (observed free space in front of
+            surfaces — 60-80% of all rows in well-scanned scenes, since
+            the fuser writes +trunc(d) along every ray) collapse to ONE
+            BIT each: a bit-packed plane marks them, and the device
+            rebuilds +truncation there before clamping
+            (train/step.py:_unpack_batch) — bit-identical to densifying
+            the full .sdfs row set.
         """
         name = os.path.splitext(os.path.basename(path))[0]
         c = F.load_train_file_sparse(path)
         hierarchy = c.hierarchy
         if self.num_hierarchy_levels < 4:
             hierarchy = hierarchy[4 - self.num_hierarchy_levels:]
-        tkeep = c.target_vals > -self.truncation
-        hier_rows = []
-        for locs, vals in hierarchy:
-            hkeep = vals > -self.truncation
-            hier_rows.append((locs[hkeep], vals[hkeep]))
+        dims = tuple(int(d) for d in c.dims)
+        trunc = self.truncation
+
+        def band_and_bits(locs, vals, d):
+            keep = (vals > -trunc) & (vals < trunc)
+            pos = vals >= trunc
+            plane = np.zeros(d[0] * d[1] * d[2], np.bool_)
+            pl = locs[pos]
+            plane[(pl[:, 0] * d[1] + pl[:, 1]) * d[2] + pl[:, 2]] = True
+            return locs[keep], vals[keep], np.packbits(
+                plane, bitorder="little"
+            )
+
+        t_locs, t_vals, t_pos = band_and_bits(
+            c.target_locs, c.target_vals, dims
+        )
+        hier_rows, hier_pos = [], []
+        L = self.num_hierarchy_levels
+        for h, (locs, vals) in enumerate(hierarchy):
+            f = 2 ** (L - 1 - h)
+            hd = tuple(d // f for d in dims)
+            hl, hv, hp = band_and_bits(locs, vals, hd)
+            hier_rows.append((hl, hv))
+            hier_pos.append(hp)
         mask = np.abs(c.input_sdf) < self.truncation
         return {
             "name": name,
             "input_locs": c.input_locs[mask],
             "input_sdf": c.input_sdf[mask],
-            "target_locs": c.target_locs[tkeep],
-            "target_vals": c.target_vals[tkeep],
+            "target_locs": t_locs,
+            "target_vals": t_vals,
+            "target_pos": t_pos,
             "hier_rows": hier_rows,
+            "hier_pos": hier_pos,
             "known_unk": np.packbits(
                 (c.known >= UNK_THRESH).reshape(-1), bitorder="little"
             ),
@@ -246,6 +275,10 @@ def collate_sparse(samples, input_capacity: int, target_capacity: int,
         "hier_locs": hier_locs,
         "hier_vals": hier_vals,
         "hier_num": hier_num,
+        "target_pos": np.stack([s["target_pos"] for s in samples]),
+        "hier_pos": [
+            np.stack([s["hier_pos"][h] for s in samples]) for h in range(nh)
+        ],
         "known_unk": np.stack([s["known_unk"] for s in samples]),
         "world2grid": np.stack([s["world2grid"] for s in samples]),
         "orig_dims": np.stack([s["orig_dims"] for s in samples]),

@@ -161,6 +161,8 @@ def device_batch(batch: dict, num_devices: int,
         out.update(
             hier_locs=hl_out, hier_vals=hv_out, hier_num=hn_out,
             known_unk=split(batch["known_unk"]),
+            target_pos=split(batch["target_pos"]),
+            hier_pos=[split(hp) for hp in batch["hier_pos"]],
         )
         return out
     out["sdf"] = fcast(split(batch["sdf"]))

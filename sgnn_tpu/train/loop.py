@@ -201,6 +201,15 @@ class Trainer:
             tv = batch["target_vals"][:tn]
             Bf = int(batch["known_unk"].shape[0])
             sdf = np.full((Bf,) + tuple(cfg.input_dim), -np.inf, np.float32)
+            if "target_pos" in batch:
+                # +saturated voxels ship as a bit plane (dataset.py:
+                # _get_chunk_sparse); rebuild them as +truncation first
+                nvox = int(np.prod(cfg.input_dim))
+                pos = np.unpackbits(
+                    batch["target_pos"].reshape(Bf, -1), axis=1,
+                    bitorder="little",
+                )[:, :nvox].reshape(sdf.shape)
+                sdf[pos > 0] = self.opts.truncation
             sdf[tl[:, 3], tl[:, 0], tl[:, 1], tl[:, 2]] = tv
             batch["sdf"] = sdf
         n = int(batch["input_num_valid"])

@@ -25,19 +25,31 @@ from sgnn_tpu.parallel.mesh import DATA_AXIS
 from sgnn_tpu.train.state import TrainState, apply_updates
 
 
-def _densify_rows(locs, vals, num, dims, B, default):
+def _densify_rows(locs, vals, num, dims, B, default, pos_bits=None,
+                  pos_fill=0.0):
     """Scatter sparse rows (z,y,x,b) into a dense [B, *dims] f32 grid.
 
     The device-side half of the sparse-target transfer path: the host
-    ships the .sdfs file's native sparse rows (data/dataset.py:
-    collate_sparse) and this reconstructs the dense grids the loss
-    consumes, identical to host-side sparse_to_dense + transfer
-    (/root/reference/torch/data_util.py:43-53 + train.py:256-261) at a
-    tenth of the H2D bytes.
+    ships the .sdfs file's open-band rows plus a bit-packed plane of
+    +saturated voxels (data/dataset.py:_get_chunk_sparse) and this
+    reconstructs the dense grids the loss consumes — bit-identical,
+    post-clamp, to host-side sparse_to_dense of the FULL row set +
+    transfer (/root/reference/torch/data_util.py:43-53 + train.py:
+    256-261) at a fraction of the H2D bytes. ``pos_bits`` [B, nbytes]
+    marks voxels whose stored value is >= +truncation; they rebuild as
+    ``pos_fill`` before the band rows scatter over the top.
     """
+    nvox = dims[0] * dims[1] * dims[2]
+    if pos_bits is not None:
+        shifts = jnp.arange(8, dtype=jnp.uint8)
+        bits = (pos_bits[:, :, None] >> shifts) & jnp.uint8(1)
+        bits = bits.reshape(B, -1)[:, :nvox].reshape(-1)
+        flat = jnp.where(bits > 0, jnp.float32(pos_fill),
+                         jnp.float32(default))
+    else:
+        flat = jnp.full((B * nvox,), default, jnp.float32)
     keys = C.flat_key(locs, dims, B)
     keys = jnp.where(C.valid_mask(num, locs.shape[0]), keys, -1)
-    flat = jnp.full((B * dims[0] * dims[1] * dims[2],), default, jnp.float32)
     flat = flat.at[C.oob_key(keys)].set(
         vals.astype(jnp.float32), mode="drop"
     )
@@ -79,6 +91,7 @@ def _unpack_batch(cfg: SGNNConfig, batch):
             batch["target_vals"][0],
             batch["target_num_valid"][0],
             cfg.input_dim, B, -jnp.inf,
+            pos_bits=batch["target_pos"][0], pos_fill=cfg.truncation,
         )
         L_levels = cfg.num_hierarchy_levels
         hierarchy = []
@@ -91,6 +104,8 @@ def _unpack_batch(cfg: SGNNConfig, batch):
                     batch["hier_vals"][h][0],
                     batch["hier_num"][h][0],
                     dims_h, B, -jnp.inf,
+                    pos_bits=batch["hier_pos"][h][0],
+                    pos_fill=cfg.truncation,
                 )
             )
         known = _unpack_known_bits(
@@ -276,9 +291,11 @@ def _batch_specs(cfg: SGNNConfig, sparse_targets: bool):
             target_locs=P(DATA_AXIS),
             target_vals=P(DATA_AXIS),
             target_num_valid=P(DATA_AXIS),
+            target_pos=P(DATA_AXIS),
             hier_locs=[P(DATA_AXIS)] * nh,
             hier_vals=[P(DATA_AXIS)] * nh,
             hier_num=[P(DATA_AXIS)] * nh,
+            hier_pos=[P(DATA_AXIS)] * nh,
             known_unk=P(DATA_AXIS),
         )
     else:

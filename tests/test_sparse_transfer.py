@@ -32,9 +32,14 @@ def chunk_files(tmp_path_factory):
     files = []
     for i in range(2):
         p = str(d / f"c{i}.sdfs")
-        # scale up values so some target rows fall below -truncation and
-        # exercise the lossless thinning
+        # scale values so target/hierarchy rows land in ALL three
+        # thinning classes: <= -trunc (dropped), the open band (rows),
+        # and >= +trunc (bit-plane fill) — randn*3 puts ~30% of rows in
+        # each saturated tail at truncation 3
         c = _make_chunk(rng)
+        c.target_sdf[np.isfinite(c.target_sdf)] *= 3.0
+        for g in c.hierarchy:
+            g[np.isfinite(g)] *= 3.0
         F.save_train_file(p, c)
         files.append(p)
     return files
@@ -171,7 +176,7 @@ def test_transfer_bytes_reduction(tmp_path):
         b = PM.device_batch(next(iter(loader)), 1)
         keys = (
             ("target_locs", "target_vals", "hier_locs", "hier_vals",
-             "known_unk")
+             "target_pos", "hier_pos", "known_unk")
             if sparse else ("sdf", "known", "hierarchy")
         )
         return sum(
