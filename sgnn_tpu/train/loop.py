@@ -362,10 +362,10 @@ class Trainer:
         log_f.write(",".join(headers) + "\n")
         val_f = None
         if val_loader is not None:
-            vh = headers[:-1] + ["val_loss(total)"]
-            vh += [f"val_loss({h})" for h in range(L)]
-            vh += ["val_loss(sdf)", "val_l1-pred", "val_l1-tgt"]
-            vh += [f"val_iou({h})" for h in range(L)] + ["time"]
+            # matches the row validate() writes (one row per epoch)
+            vh = ["epoch", "iter", "val_loss(total)"]
+            vh += [f"val_iou({h})" for h in range(L)]
+            vh += ["val_l1-pred", "val_l1-tgt"]
             val_f = open(log_val_path, "w")
             val_f.write(",".join(vh) + "\n")
 
