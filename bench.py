@@ -45,6 +45,50 @@ CPU_BASELINE_SCENES_PER_SEC = float(
 )
 
 
+def _parity_canary():
+    """Max |compiled - interpret| of one small fused conv-site kernel
+    (the family's workhorse). Cheap (~seconds) and catches Mosaic
+    compiler/lowering regressions in the driver loop itself."""
+    import jax
+    import jax.numpy as jnp
+
+    import sgnn_tpu.ops.pallas.conv3d_folded as PC
+    from sgnn_tpu.ops import folded as FO
+
+    r = np.random.RandomState(7)
+    B, Z, Y, X, cpad = 1, 8, 16, 32, 16
+    widths = (16, 8)
+    mask = r.rand(B, Z, Y, X) > 0.4
+    fm = FO.fold_mask(jnp.asarray(mask), cpad, jnp.float32)
+    xs = [
+        FO.fold(
+            jnp.asarray(
+                (r.randn(B, Z, Y, X, c) * mask[..., None]).astype(np.float32)
+            ),
+            cpad,
+        )
+        for c in widths
+    ]
+    ws = [jnp.asarray(r.randn(27, c, 12).astype(np.float32) * 0.2)
+          for c in widths]
+
+    def run():
+        return PC.fused_conv_folded([x.data for x in xs], fm.data, ws, cpad,
+                                    relu=True)
+
+    compiled = jax.tree.map(np.asarray, run())
+    orig = PC.pl.pallas_call
+    PC.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        interp = jax.tree.map(np.asarray, run())
+    finally:
+        PC.pl.pallas_call = orig
+    errs = jax.tree.map(
+        lambda a, b: float(np.abs(a - b).max()), compiled, interp
+    )
+    return max(jax.tree.leaves(errs))
+
+
 def main():
     if os.environ.get("SGNN_BENCH_ON_CPU"):
         import jax
@@ -150,6 +194,19 @@ def main():
                 print(f"retrying after device error: {e}", file=sys.stderr)
                 time.sleep(90)
 
+    # Mosaic parity canary (driver-loop coverage for the opt-in TPU parity
+    # suite, tests/test_tpu_parity.py): one small fused conv-site kernel,
+    # compiled Mosaic vs interpret mode. A Mosaic/lowering regression shows
+    # up here as a nonzero/NaN "parity_canary" field in the JSON line
+    # instead of silently skewing the throughput number.
+    parity_canary = None
+    if use_pallas:
+        try:
+            parity_canary = _parity_canary()
+        except Exception as e:  # pragma: no cover - diagnostic path
+            parity_canary = f"error: {type(e).__name__}: {e}"
+        print(f"parity canary: {parity_canary}", file=sys.stderr)
+
     print("compiling + warmup...", file=sys.stderr)
     t_compile, _ = run_retrying(1)
     print(f"compile+first: {t_compile:.1f}s", file=sys.stderr)
@@ -170,6 +227,8 @@ def main():
         "unit": "scenes/sec",
         "vs_baseline": round(scenes_per_sec / CPU_BASELINE_SCENES_PER_SEC, 2),
     }
+    if parity_canary is not None:
+        result["parity_canary"] = parity_canary
     print(json.dumps(result))
 
 
