@@ -66,8 +66,19 @@ class SceneDataset:
         self.max_input_height = max_input_height
         # pad scenes to a multiple of this; 0 = hierarchy_factor*4 (the
         # reference's choice). Larger values bucket scene shapes to reduce
-        # XLA recompiles.
-        self.dim_round = dim_round or (2 ** (num_hierarchy_levels - 1) * 4)
+        # XLA recompiles. A scalar applies to all axes; a (z,y,x) triple
+        # rounds per axis — the height axis is capped at max_input_height
+        # (usually exactly 128 after the crop) so a small z round with
+        # coarse y/x rounds cuts the bucket count without the z blow-up a
+        # scalar round causes (see tools/compile_budget.py bucket_report).
+        base = 2 ** (num_hierarchy_levels - 1) * 4
+        if np.ndim(dim_round) == 0:
+            dim_round = (dim_round or base,) * 3
+        self.dim_round = np.asarray(dim_round, np.int64)
+        assert (self.dim_round % base == 0).all(), (
+            f"dim_round {tuple(self.dim_round)} must be multiples of "
+            f"hierarchy_factor*4 = {base}"
+        )
         # chunk mode only: keep target/hierarchy in native sparse row form
         # (densified ON DEVICE, train/step.py) — cuts H2D bytes ~10x
         self.sparse_targets = sparse_targets and self.is_chunks

@@ -179,6 +179,32 @@ def test_scene_mode_padding(tmp_path, rng):
     assert (s["input_locs"][:, 0] < 32).all()
     np.testing.assert_array_equal(s["orig_dims"], dims)
 
+    # per-axis dim_round: tight z round, coarse lateral rounds (the
+    # serving bucket strategy — see tools/compile_budget.py)
+    ds2 = DS.SceneDataset(
+        [str(inp_dir / "s.sdf")], truncation=3.0, num_hierarchy_levels=4,
+        max_input_height=32, target_path=str(tgt_dir),
+        dim_round=(32, 64, 128),
+    )
+    s2 = ds2[0]
+    assert s2["sdf"].shape == (32, 64, 128)
+    assert (s2["known"][:, 33:, :] == 255).all()
+    np.testing.assert_array_equal(s2["orig_dims"], dims)
+    # content identical inside the original extent
+    np.testing.assert_array_equal(
+        s2["sdf"][:32, :33, :50], s["sdf"][:32, :33, :50]
+    )
+
+    # non-multiple-of-32 rounds are rejected
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        DS.SceneDataset(
+            [str(inp_dir / "s.sdf")], truncation=3.0,
+            num_hierarchy_levels=4, target_path=str(tgt_dir),
+            dim_round=(32, 48, 64),
+        )
+
 
 def test_batchloader_multiworker_order_and_transform(chunk_dir):
     """Worker-pool loader preserves batch order deterministically and runs

@@ -61,12 +61,22 @@ def bucket_report(dims_list):
     dims through this box's tunnel)."""
     dims = np.asarray(dims_list, np.int64)
     print(f"\n# dim_round buckets over {len(dims)} scenes")
-    print(f"{'round':>6} {'buckets':>8} {'pad overhead':>13}")
-    for r in (32, 64, 96, 128):
-        padded = ((dims + r - 1) // r) * r
+    print(f"{'round (z y x)':>14} {'buckets':>8} {'pad overhead':>13} "
+          f"{'max padded':>16}")
+    # scalar rounds + per-axis: the height axis is capped at
+    # max_input_height (typically exactly 128 after the crop), so a tight
+    # z round with coarse lateral rounds avoids blowing up the z volume
+    # the way scalar 96 does (128 -> 192).
+    for r in ((32,) * 3, (64,) * 3, (96,) * 3, (128,) * 3,
+              (32, 96, 96), (32, 128, 128), (32, 160, 160),
+              (32, 192, 192)):
+        rr = np.asarray(r, np.int64)
+        padded = ((dims + rr - 1) // rr) * rr
         buckets = {tuple(p) for p in padded}
         over = padded.prod(1).sum() / dims.prod(1).sum() - 1.0
-        print(f"{r:>6} {len(buckets):>8} {over:>12.1%}")
+        mx = tuple(int(v) for v in padded[padded.prod(1).argmax()])
+        print(f"{' '.join(f'{v:>4}' for v in r):>14} {len(buckets):>8} "
+              f"{over:>12.1%} {str(mx):>16}")
 
 
 def main():

@@ -46,9 +46,13 @@ def parse_args():
     p.add_argument("--use_skip_dense", type=int, default=1)
     p.add_argument("--max_to_vis", type=int, default=10)
     p.add_argument("--cpu", action="store_true")
-    p.add_argument("--dim_round", type=int, default=0,
+    p.add_argument("--dim_round", type=int, nargs="+", default=[0],
                    help="pad scene dims to a multiple of this (0 = x32); "
-                        "larger buckets = fewer XLA compiles")
+                        "larger buckets = fewer XLA compiles. One value "
+                        "or a per-axis 'z y x' triple (the height axis "
+                        "is capped at max_input_height, so e.g. "
+                        "'32 128 128' rounds laterally without tripling "
+                        "the z volume)")
     p.add_argument("--occupancy_fractions", type=float, nargs="+",
                    default=[1.0, 0.4, 0.2, 0.1])
     p.add_argument("--execution", default="dense_flow",
@@ -136,7 +140,8 @@ def main():
         test_files, args.truncation, args.num_hierarchy_levels,
         max_input_height=args.max_input_height,
         target_path=args.target_data_path,
-        dim_round=args.dim_round,
+        dim_round=(args.dim_round[0] if len(args.dim_round) == 1
+                   else tuple(args.dim_round)),
     )
     os.makedirs(args.output, exist_ok=True)
     # The reference discards the per-level outputs at save time
