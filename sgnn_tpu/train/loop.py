@@ -358,16 +358,22 @@ class Trainer:
         headers += [f"train_loss({h})" for h in range(L)]
         headers += ["train_loss(sdf)", "train_l1-pred", "train_l1-tgt"]
         headers += [f"train_iou({h})" for h in range(L)] + ["time"]
-        log_f = open(log_path, "w")
-        log_f.write(",".join(headers) + "\n")
+        # On checkpoint resume (--retrain), append to the existing CSVs
+        # instead of truncating the earlier epochs' history.
+        resume = self.start_epoch > 0 and os.path.exists(log_path)
+        log_f = open(log_path, "a" if resume else "w")
+        if not resume:
+            log_f.write(",".join(headers) + "\n")
         val_f = None
         if val_loader is not None:
             # matches the row validate() writes (one row per epoch)
             vh = ["epoch", "iter", "val_loss(total)"]
             vh += [f"val_iou({h})" for h in range(L)]
             vh += ["val_l1-pred", "val_l1-tgt"]
-            val_f = open(log_val_path, "w")
-            val_f.write(",".join(vh) + "\n")
+            vresume = resume and os.path.exists(log_val_path)
+            val_f = open(log_val_path, "a" if vresume else "w")
+            if not vresume:
+                val_f.write(",".join(vh) + "\n")
 
         done = False
         for epoch in range(self.start_epoch, opts.max_epoch):
@@ -419,7 +425,7 @@ class Trainer:
                         f"epoch {epoch} iter {self.iteration} "
                         f"loss {float(metrics['loss']):.6f} "
                         f"lw {np.array2string(lw, precision=2)} "
-                        f"({took:.1f}s)",
+                        f"({took:.1f}s, rss {_rss_gb():.2f}G)",
                         file=sys.stdout,
                     )
                 if opts.ckpt_every and self.iteration % opts.ckpt_every == 0:
@@ -515,6 +521,16 @@ def _mean_valid(vals):
     a = np.asarray(vals)
     a = a[a >= 0]
     return float(a.mean()) if len(a) else -1.0
+
+
+def _rss_gb() -> float:
+    """Resident set size of this process in GiB (host-leak telemetry)."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * os.sysconf("SC_PAGE_SIZE") / 2**30
+    except Exception:
+        return -1.0
 
 
 class _MetricAccum:
