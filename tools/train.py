@@ -112,6 +112,19 @@ def main():
     input_dim = infer_input_dim(args)
     print(f"input_dim: {input_dim}")
 
+    # Persistent compile cache: an elastic-resume restart (supervised
+    # long runs restart after host OOM / preemption) must pay a warm
+    # compile, not the multi-hundred-second cold compile of the
+    # all-levels train step. Same cache dir as the bench/trace tools.
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     from sgnn_tpu.data import formats as F
     from sgnn_tpu.data.dataset import BatchLoader, SceneDataset
     from sgnn_tpu.train.loop import TrainOptions, Trainer
