@@ -200,12 +200,14 @@ def main():
     # up here as a nonzero/NaN "parity_canary" field in the JSON line
     # instead of silently skewing the throughput number.
     parity_canary = None
+    parity_canary_error = None
     if use_pallas:
         try:
             parity_canary = _parity_canary()
         except Exception as e:  # pragma: no cover - diagnostic path
-            parity_canary = f"error: {type(e).__name__}: {e}"
-        print(f"parity canary: {parity_canary}", file=sys.stderr)
+            parity_canary_error = f"{type(e).__name__}: {e}"
+        print(f"parity canary: {parity_canary}"
+              f" {parity_canary_error or ''}", file=sys.stderr)
 
     print("compiling + warmup...", file=sys.stderr)
     t_compile, _ = run_retrying(1)
@@ -229,6 +231,8 @@ def main():
     }
     if parity_canary is not None:
         result["parity_canary"] = parity_canary
+    if parity_canary_error is not None:
+        result["parity_canary_error"] = parity_canary_error
     print(json.dumps(result))
 
 

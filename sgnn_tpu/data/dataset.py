@@ -75,6 +75,9 @@ class SceneDataset:
         if np.ndim(dim_round) == 0:
             dim_round = (dim_round or base,) * 3
         self.dim_round = np.asarray(dim_round, np.int64)
+        assert (self.dim_round > 0).all(), (
+            f"dim_round {tuple(self.dim_round)} must be positive"
+        )
         assert (self.dim_round % base == 0).all(), (
             f"dim_round {tuple(self.dim_round)} must be multiples of "
             f"hierarchy_factor*4 = {base}"

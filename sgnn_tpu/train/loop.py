@@ -359,21 +359,21 @@ class Trainer:
         headers += ["train_loss(sdf)", "train_l1-pred", "train_l1-tgt"]
         headers += [f"train_iou({h})" for h in range(L)] + ["time"]
         # On checkpoint resume (--retrain), append to the existing CSVs
-        # instead of truncating the earlier epochs' history.
-        resume = self.start_epoch > 0 and os.path.exists(log_path)
-        log_f = open(log_path, "a" if resume else "w")
-        if not resume:
-            log_f.write(",".join(headers) + "\n")
+        # instead of truncating the earlier epochs' history. Resume keys
+        # on checkpoint presence (a mid-epoch iter ckpt leaves start_epoch
+        # at 0 but should still append), and only appends when the
+        # existing header matches the current config's schema — a resume
+        # with e.g. a different num_hierarchy_levels rotates the old file
+        # aside instead of silently appending misaligned rows.
+        resume = self.iteration > 0 or self.start_epoch > 0
+        log_f = _open_log(log_path, headers, resume)
         val_f = None
         if val_loader is not None:
             # matches the row validate() writes (one row per epoch)
             vh = ["epoch", "iter", "val_loss(total)"]
             vh += [f"val_iou({h})" for h in range(L)]
             vh += ["val_l1-pred", "val_l1-tgt"]
-            vresume = resume and os.path.exists(log_val_path)
-            val_f = open(log_val_path, "a" if vresume else "w")
-            if not vresume:
-                val_f.write(",".join(vh) + "\n")
+            val_f = _open_log(log_val_path, vh, resume)
 
         done = False
         for epoch in range(self.start_epoch, opts.max_epoch):
@@ -503,6 +503,26 @@ class Trainer:
         return result
 
     epoch: int = 0
+
+
+def _open_log(path, headers, resume):
+    """Open a CSV log: append on resume iff the existing header matches
+    the current schema; otherwise rotate the stale file to ``.old`` and
+    start fresh (never silently mix column layouts)."""
+    header = ",".join(headers)
+    if resume and os.path.exists(path):
+        with open(path) as f:
+            existing = f.readline().rstrip("\n")
+        if existing == header:
+            return open(path, "a")
+        os.replace(path, path + ".old")
+        print(
+            f"[log] header mismatch in {path} (schema changed); "
+            f"rotated old file to {path}.old"
+        )
+    f = open(path, "w")
+    f.write(header + "\n")
+    return f
 
 
 def latest_checkpoint(save_dir):

@@ -9,7 +9,15 @@
 set -e
 RUN=${1:-logs/quality}
 DATA=${2:-data/synth}
-CKPT=${3:-$(ls -t $RUN/*.ckpt | head -1)}
+# prefer the final per-epoch checkpoint (numerically last), not the
+# newest by mtime (which can be a mid-epoch iter snapshot)
+_default_ckpt() {
+  local best
+  best=$(ls "$RUN"/model-epoch-*.ckpt 2>/dev/null | sort -t- -k3 -n | tail -1)
+  [ -n "$best" ] && { echo "$best"; return; }
+  ls -t "$RUN"/*.ckpt | head -1
+}
+CKPT=${3:-$(_default_ckpt)}
 OUT=${4:-$RUN/eval}
 cd /root/repo
 

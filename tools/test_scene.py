@@ -70,6 +70,11 @@ def parse_args():
     args = p.parse_args()
     assert not (args.no_pass_feats and args.no_pass_occ)
     assert args.num_hierarchy_levels > 1
+    if len(args.dim_round) not in (1, 3):
+        p.error(
+            f"--dim_round takes 1 value or a 'z y x' triple, got "
+            f"{len(args.dim_round)}: {args.dim_round}"
+        )
     return args
 
 
