@@ -45,14 +45,17 @@ CPU_BASELINE_SCENES_PER_SEC = float(
 )
 
 
-def _parity_canary():
-    """Max |compiled - interpret| of one small fused conv-site kernel
-    (the family's workhorse). Cheap (~seconds) and catches Mosaic
-    compiler/lowering regressions in the driver loop itself."""
+def _parity_canaries():
+    """Max |compiled - interpret| of ONE tiny instance of EVERY fused
+    Pallas kernel family (conv-site, downconv, upconv, head-site,
+    multi-scale surf head, binned scatter). Cheap (~seconds/family) and
+    catches Mosaic compiler/lowering regressions in the driver loop
+    itself, per family, instead of as a silently wrong bench number."""
     import jax
     import jax.numpy as jnp
 
     import sgnn_tpu.ops.pallas.conv3d_folded as PC
+    import sgnn_tpu.ops.pallas.scatter_folded as SF
     from sgnn_tpu.ops import folded as FO
 
     r = np.random.RandomState(7)
@@ -60,33 +63,110 @@ def _parity_canary():
     widths = (16, 8)
     mask = r.rand(B, Z, Y, X) > 0.4
     fm = FO.fold_mask(jnp.asarray(mask), cpad, jnp.float32)
-    xs = [
-        FO.fold(
-            jnp.asarray(
-                (r.randn(B, Z, Y, X, c) * mask[..., None]).astype(np.float32)
-            ),
-            cpad,
+
+    def grid(c, zyx=(Z, Y, X), m=mask):
+        z, y, x = zyx
+        return jnp.asarray(
+            (r.randn(B, z, y, x, c) * m[..., None]).astype(np.float32)
         )
-        for c in widths
-    ]
+
+    def bnp(c):
+        return (
+            {"scale": jnp.asarray(r.rand(c).astype(np.float32) + 0.5),
+             "bias": jnp.asarray(r.randn(c).astype(np.float32) * 0.1)},
+            {"mean": jnp.asarray(r.randn(c).astype(np.float32) * 0.1),
+             "var": jnp.asarray(r.rand(c).astype(np.float32) + 0.5)},
+        )
+
+    xs = [FO.fold(grid(c), cpad) for c in widths]
     ws = [jnp.asarray(r.randn(27, c, 12).astype(np.float32) * 0.2)
           for c in widths]
 
-    def run():
-        return PC.fused_conv_folded([x.data for x in xs], fm.data, ws, cpad,
-                                    relu=True)
-
-    compiled = jax.tree.map(np.asarray, run())
-    orig = PC.pl.pallas_call
-    PC.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
-    try:
-        interp = jax.tree.map(np.asarray, run())
-    finally:
-        PC.pl.pallas_call = orig
-    errs = jax.tree.map(
-        lambda a, b: float(np.abs(a - b).max()), compiled, interp
+    fams = {}
+    fams["conv_site"] = lambda: PC.fused_conv_folded(
+        [x.data for x in xs], fm.data, ws, cpad, relu=True
     )
-    return max(jax.tree.leaves(errs))
+
+    cw, cout = 16, 12
+    fg16 = FO.fold(grid(cw), cpad)
+    w8 = jnp.asarray(r.randn(8, cw, cout).astype(np.float32) * 0.3)
+    dbn_p, dbn_s = bnp(cw)
+    fams["downconv"] = lambda: (
+        lambda gm: (gm[0].data, gm[1].data)
+    )(FO.downconv_fused(fg16, fm, w8, cout, bn_params=dbn_p, bn_stats=dbn_s))
+
+    cmask = r.rand(B, Z // 2, Y // 2, X // 2) > 0.4
+    cfm = FO.fold_mask(jnp.asarray(cmask), cpad, jnp.float32)
+    fmask = np.repeat(np.repeat(np.repeat(cmask, 2, 1), 2, 2), 2, 3)
+    ffm = FO.fold_mask(jnp.asarray(fmask), cpad, jnp.float32)
+    uxs = [FO.fold(grid(c, (Z // 2, Y // 2, X // 2), cmask), cpad)
+           for c in widths]
+    fams["upconv"] = lambda: PC.fused_upconv_folded(
+        [x.data for x in uxs], cfm.data, ffm.data, ws, cpad, relu=True
+    )
+
+    hc = 10
+    hup = FO.fold(grid(hc), cpad)
+    hbn_p, hbn_s = bnp(hc)
+    hw2 = jnp.asarray(r.randn(hc, 2).astype(np.float32))
+    hb2 = jnp.asarray(r.randn(2).astype(np.float32))
+    fams["head_site"] = lambda: (
+        # raw f32 grid's halo ring is unspecified by contract: interior
+        lambda t: (t[0].data, t[1].data, t[2].data, t[3].data[:, 1:-1, 1:-1])
+    )(FO.head_site_fused(hup, fm, hbn_p, hbn_s, hw2, hb2))
+
+    nf, scales = 4, (1, 2, 4)
+    Zm, Ym, Xm = 16, 32, 32
+    msgroups = [
+        FO.fold(jnp.asarray(
+            r.randn(B, Zm // s, Ym // s, Xm // s, nf).astype(np.float32)
+        ), cpad)
+        for s in scales
+    ]
+    msfm = FO.fold_mask(
+        jnp.asarray(r.rand(B, Zm, Ym, Xm) < 0.3), cpad, jnp.float32
+    )
+    C = nf * len(scales)
+    mbn_p, mbn_s = bnp(C)
+    mW = jnp.asarray(r.randn(C, 1).astype(np.float32) * 0.3)
+    mb = jnp.asarray(r.randn(1).astype(np.float32))
+    fams["surf_head_ms"] = lambda: FO.surf_head_packed(
+        list(zip(msgroups, scales)), msfm, mbn_p, mbn_s, mW, mb
+    )
+
+    nplanes, S = 10, 2 * 128
+    cap, n = 1024, 700
+    flat = np.sort(
+        r.choice(nplanes * S, n, replace=False)
+    ).astype(np.int32)
+    sbase = np.full(cap, -(1 << 30), np.int32)
+    sbase[:n] = flat
+    svals = np.zeros(cap, np.float32)
+    svals[:n] = r.randn(n)
+    fams["scatter"] = lambda: SF.scatter_slots_folded(
+        jnp.asarray(sbase), jnp.asarray(svals), nplanes, S, presorted=True
+    )
+
+    orig = PC.pl.pallas_call
+    results = {}
+    for name, run in fams.items():
+        compiled = jax.tree.map(np.asarray, run())
+        PC.pl.pallas_call = (
+            lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        )
+        try:
+            interp = jax.tree.map(np.asarray, run())
+        finally:
+            PC.pl.pallas_call = orig
+        errs = jax.tree.map(
+            lambda a, b: float(
+                np.abs(np.asarray(a, np.float32)
+                       - np.asarray(b, np.float32)).max()
+            ),
+            compiled, interp,
+        )
+        results[name] = max(jax.tree.leaves(errs))
+    return results
 
 
 def main():
@@ -194,19 +274,22 @@ def main():
                 print(f"retrying after device error: {e}", file=sys.stderr)
                 time.sleep(90)
 
-    # Mosaic parity canary (driver-loop coverage for the opt-in TPU parity
-    # suite, tests/test_tpu_parity.py): one small fused conv-site kernel,
-    # compiled Mosaic vs interpret mode. A Mosaic/lowering regression shows
-    # up here as a nonzero/NaN "parity_canary" field in the JSON line
+    # Mosaic parity canaries (driver-loop coverage for the opt-in TPU
+    # parity suite, tests/test_tpu_parity.py): one tiny instance of EVERY
+    # fused kernel family, compiled Mosaic vs interpret mode. A Mosaic/
+    # lowering regression shows up as a nonzero/NaN entry in the
+    # "parity_canary_families" field (and "parity_canary" = the max)
     # instead of silently skewing the throughput number.
     parity_canary = None
+    parity_families = None
     parity_canary_error = None
     if use_pallas:
         try:
-            parity_canary = _parity_canary()
+            parity_families = _parity_canaries()
+            parity_canary = max(parity_families.values())
         except Exception as e:  # pragma: no cover - diagnostic path
             parity_canary_error = f"{type(e).__name__}: {e}"
-        print(f"parity canary: {parity_canary}"
+        print(f"parity canaries: {parity_families}"
               f" {parity_canary_error or ''}", file=sys.stderr)
 
     print("compiling + warmup...", file=sys.stderr)
@@ -231,6 +314,8 @@ def main():
     }
     if parity_canary is not None:
         result["parity_canary"] = parity_canary
+    if parity_families is not None:
+        result["parity_canary_families"] = parity_families
     if parity_canary_error is not None:
         result["parity_canary_error"] = parity_canary_error
     print(json.dumps(result))

@@ -36,6 +36,13 @@ class SGNNConfig:
     # Occupancy fraction caps per hierarchy level (coarse -> fine) used to
     # derive refinement capacities from full voxel counts.
     occupancy_fractions: tuple[float, ...] = (1.0, 0.5, 0.25, 0.125)
+    # Explicit per-level capacity override (same order/length as
+    # level_capacities). Serving uses this to recalibrate a shape bucket
+    # from OBSERVED trained-model occupancy (SceneInferencer refit) —
+    # the reference sizes everything dynamically per scene
+    # (/root/reference/torch/model.py:233-246); static XLA shapes absorb
+    # that via measured capacities instead. () = derive from fractions.
+    level_capacity_override: tuple[int, ...] = ()
     compute_dtype: str = "float32"
     # sparse-conv execution backend: "gather" (index-grid gathers + GEMMs)
     # or "dense" (densify -> MXU conv -> gather); see ops/conv.py
@@ -102,6 +109,10 @@ class SGNNConfig:
     @cached_property
     def level_capacities(self) -> list[int]:
         """Static sparse capacities per hierarchy level (coarse -> fine)."""
+        if self.level_capacity_override:
+            assert len(self.level_capacity_override) == \
+                self.num_hierarchy_levels
+            return [int(c) for c in self.level_capacity_override]
         fr = list(self.occupancy_fractions)
         while len(fr) < self.num_hierarchy_levels:
             fr.append(fr[-1])

@@ -16,7 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from sgnn_tpu.config import SGNNConfig
+from sgnn_tpu.config import SGNNConfig, _round_up
 from sgnn_tpu.models import sgnn as M
 from sgnn_tpu.ops.sparse import make_sparse
 
@@ -70,8 +70,22 @@ def _decode_flat(idx, n, dims):
 
 
 class SceneInferencer:
+    """Whole-scene inference with per-shape-bucket executable caching.
+
+    ``refit_capacities`` (default on): when a scene's active-voxel
+    counts overflow the compact-fetch capacities — the normal case for
+    TRAINED checkpoints, whose output occupancy exceeds the untrained
+    defaults — the inferencer recalibrates that shape bucket's
+    capacities from the OBSERVED counts (x ``refit_headroom``), rebuilds
+    the executable once, and re-fetches compactly. Subsequent scenes in
+    the bucket take the fast path directly. This is the static-shape
+    answer to the reference's per-scene dynamic sparsity
+    (/root/reference/torch/model.py:233-246, update_sizes 357-369).
+    """
+
     def __init__(self, cfg_base: SGNNConfig, params, stats,
-                 compact: bool = True, want_levels: bool = True):
+                 compact: bool = True, want_levels: bool = True,
+                 refit_capacities: bool = True, refit_headroom: float = 1.3):
         self.cfg_base = cfg_base
         self.params = params
         self.stats = stats
@@ -79,18 +93,27 @@ class SceneInferencer:
             "dense_flow", "folded"
         )
         self.want_levels = want_levels
+        self.refit_capacities = refit_capacities
+        self.refit_headroom = refit_headroom
         self._cache = {}
+        # dims -> tuple of recalibrated level capacities for that bucket
+        self._cap_override = {}
+        # dims -> max observed per-level counts (calibration record;
+        # tools/evaluate.py prints measured occupancy fractions from it)
+        self.observed_counts = {}
 
     def _get_fn(self, dims: tuple[int, int, int], compact=None):
         compact = self.compact if compact is None else compact
-        key = (dims, compact)
+        caps = self._cap_override.get(dims, ())
+        key = (dims, compact, caps)
         if key not in self._cache:
             import dataclasses
 
             # dispatch() sorts rows into (z, y, x) C-order on the host,
             # so the input scatter kernel can skip its device sort
             cfg = dataclasses.replace(
-                self.cfg_base.for_scene(dims), input_presorted=True
+                self.cfg_base.for_scene(dims), input_presorted=True,
+                level_capacity_override=caps,
             )
             want_levels = self.want_levels
             if cfg.execution in ("dense_flow", "folded") and (
@@ -185,16 +208,41 @@ class SceneInferencer:
 
     def collect(self, handle) -> dict:
         """Fetch + postprocess a dispatched scene (blocks on the device)."""
+        import warnings
+
         sample, cfg, out, args, locs3, in_sdf, n, orig = handle
         out = jax.device_get(out)
+        dims = tuple(int(d) for d in sample["sdf"].shape)
         if isinstance(out, dict):  # compact on-device extraction
-            res = self._postprocess_compact(
-                sample, cfg, out, locs3, in_sdf, n, orig
+            counts, capsl, idxs = self._compact_counts(cfg, out)
+            self._record_counts(dims, counts, idxs)
+            if all(c <= cap for c, cap in zip(counts, capsl)):
+                return self._postprocess_compact(
+                    sample, cfg, out, locs3, in_sdf, n, orig
+                )
+            if self.refit_capacities:
+                # Recalibrate this shape bucket's capacities from the
+                # observed counts and re-fetch compactly; one recompile
+                # here buys the fast path for every later scene in the
+                # bucket (vs a grid-sized dense fetch PER scene).
+                new_caps = self._refit(dims, cfg)
+                warnings.warn(
+                    f"compact-output capacity overflow ({counts} vs "
+                    f"{capsl}) at scene {sample['name']}; recalibrated "
+                    f"bucket {dims} capacities to {new_caps}"
+                )
+                fn, cfg2 = self._get_fn(dims)
+                out2 = jax.device_get(fn(self.params, self.stats, *args))
+                counts2, capsl2, idxs2 = self._compact_counts(cfg2, out2)
+                self._record_counts(dims, counts2, idxs2)
+                if all(c <= cap for c, cap in zip(counts2, capsl2)):
+                    return self._postprocess_compact(
+                        sample, cfg2, out2, locs3, in_sdf, n, orig
+                    )
+            warnings.warn(
+                f"compact-output capacity overflow at scene "
+                f"{sample['name']}; refetching dense grids"
             )
-            if res is not None:
-                return res
-            # capacity overflow: redo with the dense-grid fetch
-            dims = tuple(int(d) for d in sample["sdf"].shape)
             fn, _ = self._get_fn(dims, compact=False)
             out = jax.device_get(fn(self.params, self.stats, *args))
         if cfg.execution in ("dense_flow", "folded"):
@@ -202,6 +250,55 @@ class SceneInferencer:
                 sample, out, orig, locs3, in_sdf, n
             )
         return self._postprocess_sparse(sample, out, orig, locs3, in_sdf, n)
+
+    # -------------------------------------------- capacity calibration
+    def _compact_counts(self, cfg, out):
+        """(observed counts, their capacities, their level indices) for a
+        compact-fetch result. Level index convention: h in [0, L) coarse
+        -> fine; the surface shares the finest level's capacity slot."""
+        caps = cfg.level_capacities
+        L = cfg.num_hierarchy_levels
+        counts = [int(out["surf"][1])]
+        capsl = [caps[-1]]
+        idxs = [L - 1]
+        if "levels" in out:
+            for h, lvl in enumerate(out["levels"]):
+                counts.append(int(lvl[1]))
+                capsl.append(caps[1 + h])
+                idxs.append(1 + h)
+        return counts, capsl, idxs
+
+    def _record_counts(self, dims, counts, idxs):
+        rec = self.observed_counts.setdefault(dims, {})
+        for c, i in zip(counts, idxs):
+            rec[i] = max(rec.get(i, 0), c)
+
+    def _refit(self, dims, cfg):
+        """Grow this bucket's capacities to observed counts x headroom.
+
+        Levels already near-full (>= 85%) grow too, so one recompile
+        absorbs likely-next overflows instead of paying one per level.
+        """
+        caps = list(cfg.level_capacities)
+        for i, c in self.observed_counts.get(dims, {}).items():
+            if c > caps[i] or c >= 0.85 * caps[i]:
+                grown = _round_up(int(c * self.refit_headroom) + 1, 128)
+                caps[i] = max(caps[i], grown)
+        caps = tuple(caps)
+        self._cap_override[dims] = caps
+        return caps
+
+    def measured_fractions(self) -> dict:
+        """Per-bucket observed occupancy fractions (level voxels ->
+        fraction), the calibration record for occupancy_fractions."""
+        res = {}
+        for dims, rec in self.observed_counts.items():
+            cfg = self.cfg_base.for_scene(dims)
+            fr = {}
+            for i, c in sorted(rec.items()):
+                fr[i] = round(c / cfg.level_voxels(i), 4)
+            res[dims] = fr
+        return res
 
     def __call__(self, sample: dict) -> dict:
         """Run one scene sample (from SceneDataset scene mode).
@@ -214,22 +311,8 @@ class SceneInferencer:
 
     def _postprocess_compact(self, sample, cfg, out, locs3, in_sdf, n,
                              orig):
-        """Decode the compact fetch; None on capacity overflow."""
-        caps = cfg.level_capacities
+        """Decode the compact fetch (capacity fit guaranteed by collect)."""
         sidx, sn, ssdf = out["surf"]
-        counts = [int(sn)]
-        lvl_caps = [caps[-1]]
-        if "levels" in out:
-            counts += [int(l[1]) for l in out["levels"]]
-            lvl_caps += caps[1:1 + len(out["levels"])]
-        if any(c > cap for c, cap in zip(counts, lvl_caps)):
-            import warnings
-
-            warnings.warn(
-                f"compact-output capacity overflow ({counts} vs {lvl_caps})"
-                f" at scene {sample['name']}; refetching dense grids"
-            )
-            return None
         dims = cfg.input_dim
         k = int(sn)
         levels = [{"dense_out": np.asarray(out["coarse_out"])[0]}]

@@ -76,6 +76,14 @@ class TrainOptions:
     # "npz" (single-host, dependency-free) or "orbax" (async, multi-host
     # sharded writes — pod-scale; see train/checkpoint.py)
     ckpt_backend: str = "npz"
+    # >0: when host RSS exceeds this many GiB, checkpoint and exit with
+    # code 75 so a supervisor (tools/run_quality_train.sh) restarts the
+    # process. The axon tunnel client retains every transferred byte
+    # (tools/probe_transfer_leak.py: ~1 MB RSS per MB shipped, on every
+    # transfer path, not reclaimable by gc/malloc_trim) — planned
+    # rotation at a threshold beats an OOM kill mid-step. 0 = off.
+    # Irrelevant on PCIe-attached hosts (no tunnel client).
+    rss_restart_gb: float = 0.0
     # ship .sdfs targets as native sparse rows + bit-packed known and
     # densify on device (data/dataset.py:collate_sparse,
     # train/step.py:_densify_rows) — ~10x fewer H2D bytes than the dense
@@ -436,6 +444,26 @@ class Trainer:
                         ),
                         epoch,
                     )
+                if (
+                    opts.rss_restart_gb > 0
+                    and self.iteration % 50 == 0
+                    and _rss_gb() > opts.rss_restart_gb
+                ):
+                    path = os.path.join(
+                        log_dir,
+                        f"model-iter{self.iteration}-epoch{epoch}.ckpt",
+                    )
+                    self._save_ckpt(path, epoch)
+                    if self._orbax is not None:
+                        self._orbax.wait()
+                    print(
+                        f"[rss-rotate] host RSS {_rss_gb():.1f} GiB > "
+                        f"{opts.rss_restart_gb} GiB (tunnel-client "
+                        f"retention); checkpointed {path}, exiting 75 "
+                        f"for supervised restart"
+                    )
+                    log_f.flush()
+                    sys.exit(75)
                 if opts.max_steps and self.iteration >= opts.max_steps:
                     done = True
                     break

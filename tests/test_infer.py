@@ -125,11 +125,10 @@ def test_compact_fetch_matches_dense(scene_dirs):
     assert len(lite["levels"]) == 1  # coarse only
 
 
-def test_compact_overflow_falls_back(scene_dirs):
-    """Capacity overflow in the compact fetch must refetch dense grids
-    and still return the exact result (plus a warning)."""
+def _overflow_fixture(scene_dirs):
+    """(sample, reference result, undersized cfg, params, stats) where the
+    compact fetch overflows its capacities on the first scene."""
     import dataclasses
-    import warnings
 
     inp_dir, tgt_dir, dims = scene_dirs
     ds = SceneDataset(
@@ -147,7 +146,49 @@ def test_compact_overflow_falls_back(scene_dirs):
         cfg, occupancy_fractions=(0.0001, 0.0001, 0.0001),
         input_capacity=cfg.for_scene(tuple(sample["sdf"].shape)).input_cap,
     )
+    return sample, ref, tiny, params, stats
+
+
+def test_compact_overflow_refits_bucket(scene_dirs):
+    """Capacity overflow must recalibrate the shape bucket from observed
+    counts (trained-checkpoint serving contract): exact result on the
+    overflowing scene, and the NEXT scene in the bucket takes the compact
+    fast path with no warning."""
+    import warnings
+
+    sample, ref, tiny, params, stats = _overflow_fixture(scene_dirs)
     inf = SceneInferencer(tiny, params, stats, compact=True)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = inf(sample)
+    assert any("recalibrated" in str(x.message) for x in w)
+    np.testing.assert_array_equal(got["surf_locs"], ref["surf_locs"])
+    np.testing.assert_allclose(got["surf_sdf"], ref["surf_sdf"], atol=1e-6)
+    dims = tuple(int(d) for d in sample["sdf"].shape)
+    assert dims in inf._cap_override
+    # refit capacities cover the observed counts with headroom
+    for i, c in inf.observed_counts[dims].items():
+        assert inf._cap_override[dims][i] >= c
+    # second scene in the bucket: compact path, zero warnings
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        got2 = inf(sample)
+    assert not [x for x in w2 if "overflow" in str(x.message)]
+    np.testing.assert_array_equal(got2["surf_locs"], ref["surf_locs"])
+    # the calibration record reports nonzero measured fractions
+    fr = inf.measured_fractions()[dims]
+    assert all(v > 0 for v in fr.values())
+
+
+def test_compact_overflow_falls_back(scene_dirs):
+    """With refit disabled, capacity overflow must refetch dense grids
+    and still return the exact result (plus a warning)."""
+    import warnings
+
+    sample, ref, tiny, params, stats = _overflow_fixture(scene_dirs)
+    inf = SceneInferencer(
+        tiny, params, stats, compact=True, refit_capacities=False
+    )
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         got = inf(sample)

@@ -22,6 +22,7 @@ Off-TPU the suite skips (compiled == interpret is vacuous there).
 """
 
 import contextlib
+import os
 
 import numpy as np
 import jax
@@ -421,7 +422,12 @@ def test_int8_mesh_chamfer():
     serving mode (cfg.quantize_int8, the 48 scenes/sec path) stays within
     a fraction of a voxel (chamfer) of the bf16 mesh — ties the kernel-
     level int8 approximation to the save_predictions output contract
-    (/root/reference/torch/data_util.py:250-284)."""
+    (/root/reference/torch/data_util.py:250-284).
+
+    By default runs on random init; point SGNN_TRAINED_CKPT at a
+    tools/train.py checkpoint (default architecture) to assert the same
+    bound on TRAINED weights — their BN stats and wider activation
+    ranges are the production int8 case."""
     import dataclasses
 
     from scipy.spatial import cKDTree
@@ -439,6 +445,16 @@ def test_int8_mesh_chamfer():
         use_pallas_conv=True,
     )
     params, stats = M.genmodel_init(jax.random.PRNGKey(3), cfg)
+    ckpt = os.environ.get("SGNN_TRAINED_CKPT", "")
+    if ckpt:
+        from sgnn_tpu.train.checkpoint import load_checkpoint
+        from sgnn_tpu.train.state import create_train_state
+
+        state, _ = load_checkpoint(
+            ckpt, create_train_state(params, stats)
+        )
+        params, stats = state.params, state.stats
+        print(f"int8 chamfer on trained ckpt: {ckpt}")
     st = TFM._surface_inputs(cfg)
 
     def mesh(quant):

@@ -36,8 +36,16 @@ def main():
     p.add_argument("--refine_feat_dim", type=int, default=16)
     p.add_argument("--max_scenes", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
+    # defaults informed by trained-checkpoint occupancy (round-4 eval:
+    # surface ~0.14-0.15 of scene voxels); SceneInferencer refits a
+    # bucket automatically if a scene still overflows
     p.add_argument("--occupancy_fractions", type=float, nargs="+",
-                   default=[1.0, 0.4, 0.2, 0.1])
+                   default=[1.0, 0.5, 0.25, 0.2])
+    p.add_argument("--dim_round", type=int, nargs="+", default=[0],
+                   help="pad scene dims to multiples of this (0 = x32); "
+                        "one value or a per-axis 'z y x' triple. Coarser "
+                        "buckets = fewer XLA compiles across scenes "
+                        "(e.g. '32 128 128')")
     p.add_argument("--execution", default="dense_flow",
                    choices=["sparse", "dense_flow", "folded"])
     p.add_argument("--compute_dtype", default="bfloat16",
@@ -80,10 +88,14 @@ def main():
     files, _ = F.get_train_files(args.input_data_path, args.test_file_list)
     if args.max_scenes:
         files = files[: args.max_scenes]
+    if len(args.dim_round) not in (1, 3):
+        p.error(f"--dim_round takes 1 or 3 values, got {args.dim_round}")
     ds = SceneDataset(
         files, args.truncation, args.num_hierarchy_levels,
         max_input_height=args.max_input_height,
         target_path=args.target_data_path,
+        dim_round=(args.dim_round[0] if len(args.dim_round) == 1
+                   else tuple(args.dim_round)),
     )
 
     tap_verdict = None
@@ -129,6 +141,18 @@ def main():
         vals = [s[k] for s in per_scene if s[k] >= 0]
         agg[k] = float(np.mean(vals)) if vals else -1.0
     out = {"aggregate": agg, "scenes": per_scene}
+    # calibration record: observed per-level occupancy fractions and any
+    # capacity refits (bake these into --occupancy_fractions to serve
+    # this checkpoint without a single recompile)
+    out["measured_occupancy_fractions"] = {
+        "x".join(map(str, dims)): fr
+        for dims, fr in inferencer.measured_fractions().items()
+    }
+    if inferencer._cap_override:
+        out["refit_capacities"] = {
+            "x".join(map(str, dims)): list(caps)
+            for dims, caps in inferencer._cap_override.items()
+        }
     if tap_verdict is not None:
         out["tap_order"] = tap_verdict
     with open(args.output, "w") as fo:

@@ -30,9 +30,19 @@ while :; do
     --batch_size 8 --lr 0.001 --decay_lr 10 \
     --num_hierarchy_levels 4 --num_iters_per_level 2000 \
     --execution folded --compute_dtype bfloat16 \
+    --transfer_dtype bfloat16 \
+    --rss_restart_gb 80 \
     --autotune_capacity 48
   RC=$?
   if [ "$RC" -eq 0 ]; then echo "[supervisor] training completed"; break; fi
+  if [ "$RC" -eq 75 ]; then
+    # planned RSS rotation (train/loop.py rss_restart_gb): a clean
+    # checkpoint was written; the restart is not a failure
+    echo "[supervisor] planned RSS rotation; restarting from its ckpt"
+    TRIES=$((TRIES - 1))
+    sleep 2
+    continue
+  fi
   echo "[supervisor] train.py exited rc=$RC; restarting from latest ckpt"
   sleep 5
 done

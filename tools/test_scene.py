@@ -53,8 +53,10 @@ def parse_args():
                         "is capped at max_input_height, so e.g. "
                         "'32 128 128' rounds laterally without tripling "
                         "the z volume)")
+    # trained-checkpoint-informed defaults (see tools/evaluate.py); the
+    # inferencer refits a shape bucket automatically on overflow
     p.add_argument("--occupancy_fractions", type=float, nargs="+",
-                   default=[1.0, 0.4, 0.2, 0.1])
+                   default=[1.0, 0.5, 0.25, 0.2])
     p.add_argument("--execution", default="dense_flow",
                    choices=["sparse", "dense_flow", "folded"])
     p.add_argument("--compute_dtype", default="bfloat16",

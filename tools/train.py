@@ -85,6 +85,11 @@ def parse_args():
                    help="dtype float batch arrays are shipped to the "
                         "device in (bfloat16 halves H2D bytes; loss "
                         "math stays f32 on device)")
+    p.add_argument("--rss_restart_gb", type=float, default=0.0,
+                   help="checkpoint + exit(75) when host RSS exceeds this "
+                        "(GiB) for a supervised restart; counters the "
+                        "axon tunnel client's per-transfer host-memory "
+                        "retention (tools/probe_transfer_leak.py). 0=off")
     p.set_defaults(logweight_target_sdf=True, use_loss_masking=True)
     args = p.parse_args()
     assert not (args.no_pass_feats and args.no_pass_occ)
@@ -184,6 +189,7 @@ def main():
         scheduler_step_size=args.scheduler_step_size,
         ckpt_backend=args.ckpt_backend,
         sparse_targets=not args.dense_transfer,
+        rss_restart_gb=args.rss_restart_gb,
     )
     trainer = Trainer(opts)
 
