@@ -153,10 +153,19 @@ def _unet_f(params, stats, groups, fm, *, training, axis_name,
                                 fuse_bn=fuse_bn)
     if "deeper" not in params:
         return [x], s
-    y, s["down_bn"] = _mask_bn_f(params["down_bn"], stats["down_bn"], [x],
-                                 fm, training=training, axis_name=axis_name)
-    down, down_fm = _strided_site_f(y, fm, params["down_conv"],
-                                    params["down_conv"].shape[-1])
+    if training and fuse_bn:
+        # fused [BN+ReLU -> stride-2 conv -> coarse mask] site
+        down, down_fm, s["down_bn"] = FO.bn_downconv_folded_train(
+            params["down_bn"], stats["down_bn"], x, fm,
+            params["down_conv"], params["down_conv"].shape[-1],
+            axis_name=axis_name,
+        )
+    else:
+        y, s["down_bn"] = _mask_bn_f(params["down_bn"], stats["down_bn"],
+                                     [x], fm, training=training,
+                                     axis_name=axis_name)
+        down, down_fm = _strided_site_f(y, fm, params["down_conv"],
+                                        params["down_conv"].shape[-1])
     deep, s["deeper"] = _unet_f(params["deeper"], stats["deeper"], [down],
                                 down_fm, training=training,
                                 axis_name=axis_name, fuse_bn=fuse_bn)
@@ -175,9 +184,16 @@ def _encoder_layer_f(params, stats, groups, fm, *, training, axis_name,
     x, s["p2"] = _resblock_f(params["p2"], stats["p2"], x, fm,
                              training=training, axis_name=axis_name,
                              fuse_bn=fuse_bn)
+    # p2_bn stays a materialized pass (its output is the skip tensor);
+    # the strided conv + mask-down fuse into one kernel when enabled
     y, s["p2_bn"] = _mask_bn_f(params["p2_bn"], stats["p2_bn"], [x], fm,
                                training=training, axis_name=axis_name)
-    if cpad_out is not None and cpad_out != y[0].cpad:
+    if training and fuse_bn:
+        down, down_fm = FO.downconv_folded_train(
+            y[0], fm, params["p3"], params["p3"].shape[-1],
+            cpad_out=cpad_out,
+        )
+    elif cpad_out is not None and cpad_out != y[0].cpad:
         down, down_fm = _strided_site_cross_f(
             y[0], fm, params["p3"], params["p3"].shape[-1], cpad_out)
     else:
@@ -268,19 +284,38 @@ def genmodel_apply_folded_train(params, stats, cfg: SGNNConfig,
         zg, s_h["p2"] = _unet_f(p["p2"], st_h["p2"], [z], cur_fm,
                                 training=training, axis_name=axis_name,
                                 fuse_bn=fuse_bn)
+        fm_unfilt = FO.upsample2_folded(cur_fm)
+        w2 = jnp.concatenate(
+            [p["linear"]["weight"], p["linearsdf"]["weight"]], axis=1
+        )
+        b2 = jnp.concatenate([p["linear"]["bias"], p["linearsdf"]["bias"]])
+        if training and fuse_bn:
+            # fused [p3 BN -> 2x upsample -> n1 conv] + fused head site:
+            # the upsampled group grids and the standalone n2 normalize
+            # pass never materialize in the forward
+            up, s_h["p3"] = FO.bn_upconv_folded_train(
+                p["p3"], st_h["p3"], zg, cur_fm, fm_unfilt, p["n1"],
+                p["n1"].shape[-1], axis_name=axis_name,
+            )
+            upm, o2m, new_fm, out2, s_h["n2"] = \
+                FO.bn_head_site_folded_train(
+                    p["n2"], st_h["n2"], up, fm_unfilt, w2, b2,
+                    axis_name=axis_name,
+                )
+            nxt = []
+            if cfg.pass_feats:
+                nxt.append(upm)
+            if cfg.pass_occ:
+                nxt.append(o2m)
+            return nxt, new_fm, out2, fm_unfilt, s_h
         zb, s_h["p3"] = _mask_bn_f(p["p3"], st_h["p3"], zg, cur_fm,
                                    training=training, axis_name=axis_name)
-        fm_unfilt = FO.upsample2_folded(cur_fm)
         ups = [FO.upsample2_folded(g) for g in zb]
         up = FO.subm_conv_folded_train(ups, fm_unfilt, p["n1"],
                                      p["n1"].shape[-1])
         upl, s_h["n2"] = _mask_bn_f(p["n2"], st_h["n2"], [up], fm_unfilt,
                                     training=training, axis_name=axis_name)
         up = upl[0]
-        w2 = jnp.concatenate(
-            [p["linear"]["weight"], p["linearsdf"]["weight"]], axis=1
-        )
-        b2 = jnp.concatenate([p["linear"]["bias"], p["linearsdf"]["bias"]])
         out2 = FO.linear_folded(up, w2, b2)  # f32, occ = channel 0
         new_fm = FO.occ_mask_folded(out2, dtype=dt)
         new_fm = new_fm.with_data(new_fm.data * fm_unfilt.data)
@@ -323,6 +358,14 @@ def genmodel_apply_folded_train(params, stats, cfg: SGNNConfig,
             zg, s_s["p2"] = _unet_f(p["p2"], st_s["p2"], [z], cur_fm,
                                     training=training, axis_name=axis_name,
                                     fuse_bn=fuse_bn)
+            if training and fuse_bn:
+                # fused [per-group p3 BN -> summed linear head] site
+                surf_fg, s_s["p3"] = FO.bn_surf_head_folded_train(
+                    p["p3"], st_s["p3"], zg, cur_fm,
+                    p["linear"]["weight"], p["linear"]["bias"],
+                    axis_name=axis_name,
+                )
+                return FO.unfold(surf_fg)[..., 0], s_s
             zb, s_s["p3"] = _mask_bn_f(p["p3"], st_s["p3"], zg, cur_fm,
                                        training=training,
                                        axis_name=axis_name)

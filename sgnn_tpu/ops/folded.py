@@ -1238,6 +1238,390 @@ def bn_conv_folded_train(bn_params: dict, bn_stats: dict, groups: list,
     return FGrid(out, fg0.dims, cout, cpad), new_stats
 
 
+# ----------------------------- fused train-mode strided / upconv / head sites
+#
+# The same pattern as bn_conv_folded_train, generalized: every remaining
+# train-forward site (stride-2 down, generative upsample+conv, refinement
+# head, surface head) runs the SERVING-path fused Pallas kernel in its
+# forward, while the backward is the jax.vjp of an exactly-matching
+# differentiable XLA composition evaluated at the saved primals. The
+# gradient contract therefore IS the unfused composition (what
+# tests/test_folded_train.py pins against dense_flow), and the forward
+# sheds the standalone full-grid BN-normalize passes + upsample
+# materializations the composition pays per site. Under jax.checkpoint
+# the recompute-in-bwd cost was already being paid by remat. Matches the
+# fusion role of scn.BatchNormReLU feeding convs
+# (/root/reference/torch/model.py:37-45).
+
+
+def _site_train_core(xla_fn, tpu_fn, arrays: tuple):
+    """custom-VJP site: ``tpu_fn`` forward on TPU, ``xla_fn`` elsewhere;
+    bwd = autodiff of ``xla_fn`` at the saved primals. Both take the
+    positional array tuple and must return identically-shaped/dtyped
+    outputs (asserted structurally by eval_shape in tests)."""
+
+    def impl(arrs):
+        if jax.default_backend() == "tpu":
+            return tpu_fn(*arrs)
+        return xla_fn(*arrs)
+
+    @jax.custom_vjp
+    def core(arrs):
+        return impl(arrs)
+
+    def fwd(arrs):
+        return impl(arrs), arrs
+
+    def bwd(arrs, g):
+        _, pull = jax.vjp(lambda a: xla_fn(*a), arrs)
+        return (pull(g)[0],)
+
+    core.defvjp(fwd, bwd)
+    return core(arrays)
+
+
+def _train_affine(bn_params, bn_stats, fg: FGrid, fm: FGrid, *,
+                  axis_name=None, off: int = 0, eps: float = 1e-4,
+                  momentum: float = 0.9):
+    """Batch-stats BN as a precomposed lane affine (a, b [128] f32) for
+    one group + the updated running stats. The moments are differentiable
+    XLA reductions OUTSIDE the fused core, so the BN backward's moment
+    terms fall out of autodiff exactly like bn_conv_folded_train."""
+    c = fg.real_c
+    cpad = fg.cpad
+    F = LANES // cpad
+    p = {k: bn_params[k][off:off + c] for k in ("scale", "bias")}
+    st = {k: bn_stats[k][off:off + c] for k in ("mean", "var")}
+    mean_c, var_c, cnt = _bn_moments(fg, fm, axis_name)
+    ns = _bn_stats_update(st, mean_c, var_c, cnt, momentum)
+    inv = jax.lax.rsqrt(var_c + eps) * p["scale"].astype(jnp.float32)
+    beta = p["bias"].astype(jnp.float32) - mean_c * inv
+    a = jnp.zeros((cpad,), jnp.float32).at[:c].set(inv)
+    b = jnp.zeros((cpad,), jnp.float32).at[:c].set(beta)
+    return jnp.tile(a, F), jnp.tile(b, F), ns
+
+
+def strided_conv_cross_folded(fg: FGrid, fm: FGrid, w8: jax.Array,
+                              cout: int, cpad_out: int
+                              ) -> tuple[FGrid, FGrid]:
+    """Differentiable stride-2 site that WIDENS the lane budget across
+    the stride (cpad -> 2*cpad: one fine block -> one coarse block), the
+    XLA counterpart of the fused kernel's cross mode
+    (ops/pallas/conv3d_folded.py:fused_downconv_folded)."""
+    cpad = fg.cpad
+    Z, Y, X = fg.dims
+    dt = fg.data.dtype
+    w8f = w8[:, :fg.real_c, :]
+    W = _strided_w_cross(w8f, cpad, cpad_out, fg.real_c, cout).astype(dt)
+    MD = jnp.asarray(_mask_down_cross(cpad, cpad_out), dt)
+    d = fg.data[:, 1:Z + 1, 1:Y + 1]
+    m = fm.data[:, 1:Z + 1, 1:Y + 1]
+    dn = (((4,), (0,)), ((), ()))
+    acc = None
+    macc = None
+    for dz in range(2):
+        for dy in range(2):
+            a = jax.lax.dot_general(
+                d[:, dz::2, dy::2], W[dz, dy], dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+            b = jax.lax.dot_general(
+                m[:, dz::2, dy::2], MD, dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            )
+            acc = a if acc is None else acc + a
+            macc = b if macc is None else macc + b
+    mc = jnp.minimum(macc, 1.0)
+    out = (acc * mc).astype(dt)
+    mc = mc.astype(dt)
+    xq_out = _xq_for(X // 2, cpad_out)
+    if out.shape[3] > xq_out:
+        out, mc = out[:, :, :, :xq_out], mc[:, :, :, :xq_out]
+    elif out.shape[3] < xq_out:
+        padw = ((0, 0),) * 3 + ((0, xq_out - out.shape[3]), (0, 0))
+        out, mc = jnp.pad(out, padw), jnp.pad(mc, padw)
+    dims_c = (Z // 2, Y // 2, X // 2)
+    return (
+        FGrid(_rehalo(out, xq_out), dims_c, cout, cpad_out),
+        FGrid(_rehalo(mc, xq_out), dims_c, cpad_out, cpad_out),
+    )
+
+
+def downconv_folded_train(fg: FGrid, fm: FGrid, w8: jax.Array, cout: int,
+                          *, affine: tuple | None = None,
+                          cpad_out: int | None = None
+                          ) -> tuple[FGrid, FGrid]:
+    """Differentiable fused stride-2 down site: [optional affine + ReLU +
+    fine mask] -> 2^3 stride-2 conv -> coarse mask, ONE Pallas kernel
+    forward (fused_downconv_folded), XLA-composition gradients."""
+    cpad = fg.cpad
+    dims = fg.dims
+    cin = fg.real_c
+    has_aff = affine is not None
+    w8g = w8[:, :cin, :]
+
+    def xla_fn(*arrs):
+        if has_aff:
+            x, m, a, b, w = arrs
+        else:
+            x, m, w = arrs
+        g = FGrid(x, dims, cin, cpad)
+        mg = FGrid(m, dims, cpad, cpad)
+        if has_aff:
+            u = jnp.maximum(
+                x.astype(jnp.float32) * a + b, 0.0
+            ).astype(x.dtype) * m
+            g = g.with_data(u)
+        if cpad_out is not None and cpad_out != cpad:
+            down, down_fm = strided_conv_cross_folded(g, mg, w, cout,
+                                                      cpad_out)
+        else:
+            down = strided_conv_folded([g], w, cout)
+            down_fm = mask_down_folded(mg)
+            down = down.with_data(down.data * down_fm.data)
+        return down.data, down_fm.data
+
+    def tpu_fn(*arrs):
+        from sgnn_tpu.ops.pallas.conv3d_folded import fused_downconv_folded
+
+        if has_aff:
+            x, m, a, b, w = arrs
+            aff = (a, b)
+        else:
+            x, m, w = arrs
+            aff = None
+        return fused_downconv_folded(
+            x, m, w, cpad, affine=aff, relu=True, cpad_out=cpad_out,
+        )
+
+    arrs = (fg.data, fm.data, *(affine if has_aff else ()), w8g)
+    out, mout = _site_train_core(xla_fn, tpu_fn, arrs)
+    co = cpad_out or cpad
+    dims_c = tuple(d // 2 for d in dims)
+    return FGrid(out, dims_c, cout, co), FGrid(mout, dims_c, co, co)
+
+
+def bn_downconv_folded_train(bn_params: dict, bn_stats: dict, fg: FGrid,
+                             fm: FGrid, w8: jax.Array, cout: int, *,
+                             cpad_out: int | None = None, axis_name=None
+                             ) -> tuple[FGrid, FGrid, dict]:
+    """Fused train-mode [BN+ReLU -> stride-2 conv -> coarse mask] site;
+    same result/gradients as [_mask_bn_f -> _strided_site_f]
+    (tests/test_folded_train.py)."""
+    a_t, b_t, ns = _train_affine(bn_params, bn_stats, fg, fm,
+                                 axis_name=axis_name)
+    down, down_fm = downconv_folded_train(
+        fg, fm, w8, cout, affine=(a_t, b_t), cpad_out=cpad_out,
+    )
+    return down, down_fm, ns
+
+
+def bn_upconv_folded_train(bn_params: dict, bn_stats: dict, groups: list,
+                           cfm: FGrid, ffm: FGrid, w27: jax.Array,
+                           cout: int, *, axis_name=None
+                           ) -> tuple[FGrid, dict]:
+    """Fused train-mode generative upsample site: per-group [BN+ReLU +
+    coarse mask] -> 2x NN upsample -> 3^3 conv -> fine mask, ONE Pallas
+    kernel forward (fused_upconv_folded) — the G upsampled fine grids the
+    composition materializes (8x the coarse bytes each) never exist in
+    the forward. Gradients: autodiff of the exact composition."""
+    fg0 = groups[0]
+    cpad = fg0.cpad
+    dims_c = fg0.dims
+    cins = tuple(g.real_c for g in groups)
+    G = len(groups)
+    affs, means, vars_ = [], [], []
+    off = 0
+    for g in groups:
+        a_t, b_t, ns = _train_affine(bn_params, bn_stats, g, cfm,
+                                     axis_name=axis_name, off=off)
+        affs.extend((a_t, b_t))
+        means.append(ns["mean"])
+        vars_.append(ns["var"])
+        off += g.real_c
+    assert off == w27.shape[1], (off, w27.shape)
+
+    def _slices(w):
+        out, o = [], 0
+        for c in cins:
+            out.append(w[:, o:o + c, :])
+            o += c
+        return out
+
+    def xla_fn(*arrs):
+        xs = arrs[:G]
+        cm, fmf = arrs[G], arrs[G + 1]
+        ab = arrs[G + 2:G + 2 + 2 * G]
+        w = arrs[-1]
+        ups = []
+        for x, c in zip(xs, cins):
+            a, b = ab[0], ab[1]
+            ab = ab[2:]
+            u = jnp.maximum(
+                x.astype(jnp.float32) * a + b, 0.0
+            ).astype(x.dtype) * cm
+            ups.append(upsample2_folded(FGrid(u, dims_c, c, cpad)))
+        fmg = FGrid(fmf, tuple(2 * d for d in dims_c), cpad, cpad)
+        return subm_conv_folded_train(ups, fmg, w, cout).data
+
+    def tpu_fn(*arrs):
+        from sgnn_tpu.ops.pallas.conv3d_folded import fused_upconv_folded
+
+        xs = arrs[:G]
+        cm, fmf = arrs[G], arrs[G + 1]
+        ab = arrs[G + 2:G + 2 + 2 * G]
+        w = arrs[-1]
+        affines = [(ab[2 * i], ab[2 * i + 1]) for i in range(G)]
+        return fused_upconv_folded(
+            list(xs), cm, fmf, _slices(w), cpad,
+            affines=affines, relu=True,
+        )
+
+    arrs = (*(g.data for g in groups), cfm.data, ffm.data, *affs, w27)
+    out = _site_train_core(xla_fn, tpu_fn, arrs)
+    new_stats = {
+        "mean": jnp.concatenate(means) if G > 1 else means[0],
+        "var": jnp.concatenate(vars_) if G > 1 else vars_[0],
+    }
+    return FGrid(out, tuple(2 * d for d in dims_c), cout, cpad), new_stats
+
+
+def bn_head_site_folded_train(bn_params: dict, bn_stats: dict, up: FGrid,
+                              fm: FGrid, W2: jax.Array, b2: jax.Array, *,
+                              axis_name=None
+                              ) -> tuple[FGrid, FGrid, FGrid, FGrid, dict]:
+    """Fused train-mode refinement tail: [n2 BN+ReLU+mask] -> heads
+    linear (occ|sdf) -> occupancy gate -> (masked post-BN feats, masked
+    heads, new mask, raw f32 heads), ONE Pallas kernel forward
+    (fused_head_folded; the reference's head + sparsify,
+    /root/reference/torch/model.py:189-190,233-246)."""
+    cpad = up.cpad
+    dims = up.dims
+    cin = up.real_c
+    cout = W2.shape[1]
+    F = LANES // cpad
+    a_t, b_t, ns = _train_affine(bn_params, bn_stats, up, fm,
+                                 axis_name=axis_name)
+
+    def xla_fn(x, m, a, b, W, bv):
+        u = jnp.maximum(
+            x.astype(jnp.float32) * a + b, 0.0
+        ).astype(x.dtype) * m
+        ug = FGrid(u, dims, cin, cpad)
+        out2 = linear_folded(ug, W, bv)  # f32, occ = channel 0
+        new_fm = occ_mask_folded(out2, dtype=x.dtype)
+        nf = new_fm.data * m
+        return u * nf, out2.data.astype(x.dtype) * nf, nf, out2.data
+
+    def tpu_fn(x, m, a, b, W, bv):
+        from sgnn_tpu.ops.pallas.conv3d_folded import fused_head_folded
+
+        Wt = _linear_tile(W, cpad, cout)
+        R = jnp.asarray(_occ_replicate(cpad), jnp.float32)
+        Wocc = Wt @ R
+        bl = jnp.zeros((cpad,), jnp.float32).at[:cout].set(
+            bv.astype(jnp.float32)
+        )
+        bt = jnp.tile(bl, F)
+        return fused_head_folded(
+            [x], m, Wt[None].astype(x.dtype), jnp.stack([bt, bt @ R]),
+            affines=jnp.stack([a[None], b[None]]),
+            woccs=Wocc[None].astype(x.dtype), gate=True, emit_raw=True,
+        )
+
+    upm, o2m, fmn, raw = _site_train_core(
+        xla_fn, tpu_fn, (up.data, fm.data, a_t, b_t, W2, b2)
+    )
+    return (
+        FGrid(upm, dims, cin, cpad),
+        FGrid(o2m, dims, cout, cpad),
+        FGrid(fmn, dims, cpad, cpad),
+        FGrid(raw, dims, cout, cpad),
+        ns,
+    )
+
+
+def bn_surf_head_folded_train(bn_params: dict, bn_stats: dict,
+                              groups: list, fm: FGrid, W: jax.Array,
+                              bias: jax.Array, *, axis_name=None
+                              ) -> tuple[FGrid, dict]:
+    """Fused train-mode surface tail: per-group [p3 BN+ReLU+mask] ->
+    summed per-group linear + bias -> raw f32 SDF grid, ONE Pallas kernel
+    forward (fused_head_folded gate=False; the reference's
+    SurfacePrediction head, model.py:257,270)."""
+    fg0 = groups[0]
+    cpad = fg0.cpad
+    dims = fg0.dims
+    cins = tuple(g.real_c for g in groups)
+    G = len(groups)
+    F = LANES // cpad
+    affs, means, vars_ = [], [], []
+    off = 0
+    for g in groups:
+        a_t, b_t, ns = _train_affine(bn_params, bn_stats, g, fm,
+                                     axis_name=axis_name, off=off)
+        affs.extend((a_t, b_t))
+        means.append(ns["mean"])
+        vars_.append(ns["var"])
+        off += g.real_c
+    assert off == W.shape[0], (off, W.shape)
+
+    def _btile(bv):
+        bl = jnp.zeros((cpad,), jnp.float32).at[:1].set(
+            bv.astype(jnp.float32)
+        )
+        return jnp.tile(bl, F)
+
+    def xla_fn(*arrs):
+        xs = arrs[:G]
+        m = arrs[G]
+        ab = arrs[G + 1:G + 1 + 2 * G]
+        W_, bv = arrs[-2], arrs[-1]
+        acc = None
+        off = 0
+        for x, c in zip(xs, cins):
+            a, b = ab[0], ab[1]
+            ab = ab[2:]
+            u = jnp.maximum(
+                x.astype(jnp.float32) * a + b, 0.0
+            ).astype(x.dtype) * m
+            o = linear_folded(FGrid(u, dims, c, cpad),
+                              W_[off:off + c], None)
+            acc = o.data if acc is None else acc + o.data
+            off += c
+        return acc + _btile(bv)
+
+    def tpu_fn(*arrs):
+        from sgnn_tpu.ops.pallas.conv3d_folded import fused_head_folded
+
+        xs = arrs[:G]
+        m = arrs[G]
+        ab = arrs[G + 1:G + 1 + 2 * G]
+        W_, bv = arrs[-2], arrs[-1]
+        tiles, offs = [], 0
+        for c in cins:
+            tiles.append(_linear_tile(W_[offs:offs + c], cpad, 1))
+            offs += c
+        bt = _btile(bv)
+        return fused_head_folded(
+            list(xs), m, jnp.stack(tiles).astype(xs[0].dtype),
+            jnp.stack([bt, jnp.zeros_like(bt)]),
+            affines=jnp.stack([
+                jnp.stack([ab[2 * i] for i in range(G)]),
+                jnp.stack([ab[2 * i + 1] for i in range(G)]),
+            ]),
+            gate=False,
+        )
+
+    arrs = (*(g.data for g in groups), fm.data, *affs, W, bias)
+    out = _site_train_core(xla_fn, tpu_fn, arrs)
+    new_stats = {
+        "mean": jnp.concatenate(means) if G > 1 else means[0],
+        "var": jnp.concatenate(vars_) if G > 1 else vars_[0],
+    }
+    return FGrid(out, dims, 1, cpad), new_stats
+
+
 def halo_exchange_z(fg: FGrid, axis_name: str) -> FGrid:
     """Fill the z halo ring of a z-SHARDED folded grid from the
     neighboring devices' boundary interior planes (jax.lax.ppermute over

@@ -28,7 +28,8 @@ while :; do
     --save "$RUN" --retrain auto \
     --max_epoch "$MAX_EPOCH" --save_epoch 1 \
     --batch_size 8 --lr 0.001 --decay_lr 10 \
-    --num_hierarchy_levels 4 --num_iters_per_level 2000 \
+    --num_hierarchy_levels 4 --num_iters_per_level 1000 \
+    --fuse_train_bn "${FUSE_TRAIN_BN:-1}" \
     --execution folded --compute_dtype bfloat16 \
     --transfer_dtype bfloat16 \
     --rss_restart_gb 80 \

@@ -85,6 +85,10 @@ def parse_args():
                    help="dtype float batch arrays are shipped to the "
                         "device in (bfloat16 halves H2D bytes; loss "
                         "math stays f32 on device)")
+    p.add_argument("--fuse_train_bn", type=int, default=1,
+                   help="folded execution: fuse train-mode BN+ReLU into "
+                        "the conv/downconv/upconv/head Pallas kernels "
+                        "(0 = composed BN->op XLA passes, ablation)")
     p.add_argument("--rss_restart_gb", type=float, default=0.0,
                    help="checkpoint + exit(75) when host RSS exceeds this "
                         "(GiB) for a supervised restart; counters the "
@@ -190,6 +194,7 @@ def main():
         ckpt_backend=args.ckpt_backend,
         sparse_targets=not args.dense_transfer,
         rss_restart_gb=args.rss_restart_gb,
+        fuse_train_bn=bool(args.fuse_train_bn),
     )
     trainer = Trainer(opts)
 
