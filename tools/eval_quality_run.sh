@@ -29,13 +29,14 @@ python tools/test_scene.py \
   --input_data_path $DATA/incomplete --target_data_path $DATA/complete \
   --test_file_list $DATA/scenes_val.txt --model_path "$CKPT" \
   --output $OUT/scenes --max_to_vis 6 --dim_round 32 128 128 \
-  --execution dense_flow --compute_dtype bfloat16
+  --execution folded --compute_dtype bfloat16
 
 echo "== scene-level metrics"
 python tools/evaluate.py \
   --input_data_path $DATA/incomplete --target_data_path $DATA/complete \
   --test_file_list $DATA/scenes_val.txt --model_path "$CKPT" \
-  --max_scenes 6 --execution dense_flow --compute_dtype bfloat16 \
+  --max_scenes 6 --execution folded --compute_dtype bfloat16 \
+  --dim_round 32 128 128 \
   --output $OUT/metrics.json
 cat $OUT/metrics.json
 
