@@ -96,6 +96,10 @@ class SceneInferencer:
         self.refit_capacities = refit_capacities
         self.refit_headroom = refit_headroom
         self._cache = {}
+        # (X%16 class, want_level_outputs) -> prepared per-site weights
+        # (prepare_folded_weights); dims-independent, shared by every
+        # scene bucket of the class
+        self._prep = {}
         # dims -> tuple of recalibrated level capacities for that bucket
         self._cap_override = {}
         # dims -> max observed per-level counts (calibration record;
@@ -123,7 +127,7 @@ class SceneInferencer:
                 # the TPU fast path; needs the Mosaic compiler
                 from sgnn_tpu.models import folded_flow as FF
 
-                def fn(params, stats, locs, feats, num_valid, orig):
+                def fn(params, stats, prep, locs, feats, num_valid, orig):
                     st = make_sparse(
                         locs, feats, num_valid, cfg.input_dim, 1
                     )
@@ -134,6 +138,8 @@ class SceneInferencer:
                         # only-surface serving: skip materializing the
                         # per-level raw head grids inside the kernels
                         want_level_outputs=not compact or want_levels,
+                        # weight prep hoisted out of the per-scene graph
+                        prep=prep,
                     )
                     if compact:
                         return _compact_dense_output(
@@ -143,7 +149,8 @@ class SceneInferencer:
             elif cfg.execution in ("dense_flow", "folded"):
                 from sgnn_tpu.models import dense_flow as DF
 
-                def fn(params, stats, locs, feats, num_valid, orig):
+                def fn(params, stats, prep, locs, feats, num_valid, orig):
+                    del prep
                     st = make_sparse(
                         locs, feats, num_valid, cfg.input_dim, 1
                     )
@@ -158,8 +165,8 @@ class SceneInferencer:
                         )
                     return out
             else:
-                def fn(params, stats, locs, feats, num_valid, orig):
-                    del orig
+                def fn(params, stats, prep, locs, feats, num_valid, orig):
+                    del prep, orig
                     st = make_sparse(
                         locs, feats, num_valid, cfg.input_dim, 1
                     )
@@ -172,6 +179,28 @@ class SceneInferencer:
 
             self._cache[key] = (jax.jit(fn), cfg)
         return self._cache[key]
+
+    def _prep_for(self, cfg, compact):
+        """Prepared per-site weights for this cfg's forward, or None on
+        non-folded paths. Cached per (cpad0 class, want_level_outputs) —
+        the only branches the prep stream order depends on across scene
+        buckets (see prepare_folded_weights)."""
+        if cfg.execution not in ("dense_flow", "folded") or (
+            jax.default_backend() != "tpu"
+        ):
+            return None
+        wlo = not compact or self.want_levels
+        key = (cfg.input_dim[2] % 16 == 0, wlo)
+        if key not in self._prep:
+            from sgnn_tpu.models.folded_flow import prepare_folded_weights
+
+            items = prepare_folded_weights(
+                self.params, self.stats, cfg,
+                num_refine_active=cfg.num_refine_levels, do_surf=True,
+                want_level_outputs=wlo, dims_like=cfg.input_dim,
+            )
+            self._prep[key] = jax.device_put(items)
+        return self._prep[key]
 
     def dispatch(self, sample: dict):
         """Launch one scene's forward asynchronously.
@@ -203,7 +232,8 @@ class SceneInferencer:
             jnp.asarray(locs), jnp.asarray(feats), jnp.int32(n),
             jnp.asarray(orig.astype(np.int32)),
         )
-        out = fn(self.params, self.stats, *args)
+        out = fn(self.params, self.stats, self._prep_for(cfg, self.compact),
+                 *args)
         return (sample, cfg, out, args, locs3, in_sdf, n, orig)
 
     def collect(self, handle) -> dict:
@@ -232,7 +262,10 @@ class SceneInferencer:
                     f"bucket {dims} capacities to {new_caps}"
                 )
                 fn, cfg2 = self._get_fn(dims)
-                out2 = jax.device_get(fn(self.params, self.stats, *args))
+                out2 = jax.device_get(fn(
+                    self.params, self.stats,
+                    self._prep_for(cfg2, self.compact), *args,
+                ))
                 counts2, capsl2, idxs2 = self._compact_counts(cfg2, out2)
                 self._record_counts(dims, counts2, idxs2)
                 if all(c <= cap for c, cap in zip(counts2, capsl2)):
@@ -243,8 +276,11 @@ class SceneInferencer:
                 f"compact-output capacity overflow at scene "
                 f"{sample['name']}; refetching dense grids"
             )
-            fn, _ = self._get_fn(dims, compact=False)
-            out = jax.device_get(fn(self.params, self.stats, *args))
+            fn, cfgd = self._get_fn(dims, compact=False)
+            out = jax.device_get(fn(
+                self.params, self.stats,
+                self._prep_for(cfgd, False), *args,
+            ))
         if cfg.execution in ("dense_flow", "folded"):
             return self._postprocess_dense(
                 sample, out, orig, locs3, in_sdf, n

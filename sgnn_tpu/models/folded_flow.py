@@ -125,7 +125,8 @@ def _encoder_layer(params, stats, groups, fm, cpad_out=None, q=False,
 
 def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
                           *, num_refine_active: int, do_surf: bool,
-                          sp_axis=None, want_level_outputs: bool = True):
+                          sp_axis=None, want_level_outputs: bool = True,
+                          prep: list | None = None):
     """Inference forward in the folded layout. Output contract matches
     genmodel_apply_dense (a DenseFlowOutput of unfolded arrays).
 
@@ -144,7 +145,32 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
     Nones) — the head kernels skip their raw f32 output entirely, which
     at the finest level is the largest HBM write of the forward. Use for
     production inference where only the surface is exported (matches
-    what the reference's test_scene.py:96-100 saves)."""
+    what the reference's test_scene.py:96-100 saves).
+
+    ``prep``: prepared per-site weights from prepare_folded_weights().
+    When given, every fused site consumes its kernel-ready weights from
+    this list (ordinary jit inputs) instead of re-folding/quantizing the
+    raw params on device each forward (~1.3 ms at headline dims —
+    BENCH_NOTES round-5 roofline). Must have been prepared with the same
+    cfg/flags (and the same X %% 16 class, which picks cpad0)."""
+    if prep is not None:
+        assert sp_axis is None, "prep + spatial sharding not supported"
+        assert FO._prep_state is None
+        FO._prep_state = FO._PrepState("use", prep)
+        try:
+            out = genmodel_apply_folded(
+                params, stats, cfg, st,
+                num_refine_active=num_refine_active, do_surf=do_surf,
+                sp_axis=None, want_level_outputs=want_level_outputs,
+            )
+            used = FO._prep_state.i
+            assert used == len(prep), (
+                f"prep stream mismatch: {used} consumed, {len(prep)} given"
+            )
+            return out
+        finally:
+            FO._prep_state = None
+
     dt = jnp.dtype(cfg.compute_dtype)
     Z, Y, X = st.spatial_size
     B = st.batch_size
@@ -346,3 +372,52 @@ def genmodel_apply_folded(params, stats, cfg: SGNNConfig, st: SparseTensor,
         surf_sdf=surf,
         surf_mask=surf_mask,
     )
+
+
+def prepare_folded_weights(params, stats, cfg: SGNNConfig, *,
+                           num_refine_active: int, do_surf: bool = True,
+                           want_level_outputs: bool = False,
+                           dims_like: tuple | None = None) -> list:
+    """Hoist all per-site weight preparation out of the serving forward.
+
+    Runs genmodel_apply_folded ONCE in record mode on tiny dims: every
+    fused site computes its kernel-ready weight pytree (tap-folded conv
+    matrices, strided/mask-down matrices, int8-quantized weights + scales,
+    BN eval-affines, head lane tiles) and returns a zeros dummy instead of
+    dispatching its Pallas kernel. The pass runs EAGERLY ON THE CPU
+    backend (host copies of the params) — no TPU compile, <1 s — and
+    returns the prepared list to pass as genmodel_apply_folded(prep=...).
+
+    The list is dims-independent, so ONE prepare serves every scene
+    bucket; only the X %% 16 class matters (it selects the encoder's
+    cpad0 branch), which ``dims_like`` pins (default cfg.input_dim).
+    Flags must match the serving call: the record and use passes must
+    take identical branches so the per-site stream order lines up
+    (asserted at use time)."""
+    import numpy as np
+
+    from sgnn_tpu.ops.sparse import make_sparse
+
+    Z0, Y0, X0 = dims_like or cfg.input_dim
+    tx = 64 if X0 % 16 == 0 else 56
+    tiny = (16, 16, tx)
+    cpu = jax.devices("cpu")[0]
+    params_h = jax.device_get(params)
+    stats_h = jax.device_get(stats)
+    assert FO._prep_state is None
+    FO._prep_state = FO._PrepState("record")
+    try:
+        with jax.default_device(cpu):
+            st = make_sparse(
+                np.full((8, 4), -1, np.int32),
+                np.zeros((8, 1), np.float32),
+                0, tiny, 1,
+            )
+            genmodel_apply_folded(
+                params_h, stats_h, cfg, st,
+                num_refine_active=num_refine_active, do_surf=do_surf,
+                want_level_outputs=want_level_outputs,
+            )
+        return FO._prep_state.items
+    finally:
+        FO._prep_state = None

@@ -554,32 +554,12 @@ def _pick_tiles_budget(Z, Y, xq, G, itemsize, budget_bytes=12_500_000,
     return best
 
 
-def fused_conv_folded(
-    xs: list,            # G halo'd folded grids [B, Z+2, Y+2, xq, 128]
-    mask: jax.Array,     # [B, Z+2, Y+2, xq, 128] 0/1, halo ring zero
-    w27s: list,          # G weights [27, real_c_g, cout], cout <= cpad
-    cpad: int,
-    *,
-    affines: list | None = None,  # G (scale[128] f32, bias[128] f32) pairs
-    relu: bool = True,
-    residual: jax.Array | None = None,  # halo'd grid added to the output
-    quantize: bool = False,  # int8 GEMMs (static per-column weight scales
-                             # + dynamic per-tile activation scales)
-) -> jax.Array:
-    """Fused folded conv site -> HALO'D masked output [B, Z+2, Y+2, xq, 128].
-
-    out_interior = mask * sum_g conv3(in_g') [+ residual], halo ring
-    written zero; in_g' = relu(in_g * scale_g + bias_g) * mask when
-    affines are given (BN-eval fused), else in_g as-is (inputs already
-    masked). ``residual`` must be masked upstream (it is added after the
-    output mask — the resblock's identity branch, nn/blocks semantics).
-    """
-    G = len(xs)
-    assert G >= 1 and len(w27s) == G
-    x0 = xs[0]
-    B, Zp, Yp, xq, _ = x0.shape
-    Z, Y = Zp - 2, Yp - 2
-    dt = x0.dtype
+def prep_conv_weights(w27s: list, cpad: int, dt, quantize: bool) -> dict:
+    """Kernel-ready folded weights for fused_conv_folded: pad + tap-fold
+    (+ int8 quantization). Depends only on the weights, so production
+    serving hoists it out of the per-forward graph (a device trace showed
+    these einsums rerunning every forward, ~1.3 ms at headline dims —
+    BENCH_NOTES round-5 roofline table)."""
     wms, wcs = [], []
     for w in w27s:
         K, cin, cout = w.shape
@@ -606,8 +586,41 @@ def fused_conv_folded(
         wc = jnp.clip(
             jnp.round(wc.astype(jnp.float32) * inv), -127.0, 127.0
         ).astype(jnp.int8)
-    else:
-        ws = None
+        return {"wm": wm, "wc": wc, "ws": ws}
+    return {"wm": wm, "wc": wc}
+
+
+def fused_conv_folded(
+    xs: list,            # G halo'd folded grids [B, Z+2, Y+2, xq, 128]
+    mask: jax.Array,     # [B, Z+2, Y+2, xq, 128] 0/1, halo ring zero
+    w27s: list | None,   # G weights [27, real_c_g, cout], cout <= cpad
+    cpad: int,
+    *,
+    affines: list | None = None,  # G (scale[128] f32, bias[128] f32) pairs
+    relu: bool = True,
+    residual: jax.Array | None = None,  # halo'd grid added to the output
+    quantize: bool = False,  # int8 GEMMs (static per-column weight scales
+                             # + dynamic per-tile activation scales)
+    prew: dict | None = None,  # prep_conv_weights output (skips folding)
+) -> jax.Array:
+    """Fused folded conv site -> HALO'D masked output [B, Z+2, Y+2, xq, 128].
+
+    out_interior = mask * sum_g conv3(in_g') [+ residual], halo ring
+    written zero; in_g' = relu(in_g * scale_g + bias_g) * mask when
+    affines are given (BN-eval fused), else in_g as-is (inputs already
+    masked). ``residual`` must be masked upstream (it is added after the
+    output mask — the resblock's identity branch, nn/blocks semantics).
+    """
+    G = len(xs)
+    assert G >= 1 and (prew is not None or len(w27s) == G)
+    x0 = xs[0]
+    B, Zp, Yp, xq, _ = x0.shape
+    Z, Y = Zp - 2, Yp - 2
+    dt = x0.dtype
+    if prew is None:
+        prew = prep_conv_weights(w27s, cpad, dt, quantize)
+    wm, wc, ws = prew["wm"], prew["wc"], prew.get("ws")
+    assert wm.shape[0] == G
     has_affine = affines is not None
     if has_affine:
         ab = jnp.stack([
@@ -1007,37 +1020,10 @@ def _pick_tiles_upconv(Zf, Yf, xqf, xqc, G, itemsize,
     return best
 
 
-def fused_upconv_folded(
-    xs: list,            # G COARSE halo'd grids [B, Zc+2, Yc+2, xqc, 128]
-    cmask: jax.Array,    # coarse mask, same shape
-    fmask: jax.Array | None,  # FINE mask [B, 2Zc+2, 2Yc+2, xqf, 128];
-                         # None: expand the coarse mask in-register (the
-                         # NN-dup'd coarse mask IS the fine mask here —
-                         # no fine-mask grid need exist in HBM)
-    w27s: list,          # G weights [27, real_c_g, cout <= cpad]
-    cpad: int,
-    *,
-    affines: list | None = None,
-    relu: bool = True,
-    quantize: bool = False,
-    xqf: int | None = None,  # required when fmask is None
-) -> jax.Array:
-    """fmask * conv3(nn_up2(sum_g in_g')) as a halo'd FINE folded grid;
-    in_g' = relu(in_g * a + b) * cmask when affines given (fused BN-eval).
-    quantize: int8 GEMMs (same scheme as fused_conv_folded).
-    """
-    G = len(xs)
-    x0 = xs[0]
-    B, Zcp, Ycp, xqc, _ = x0.shape
-    Zc, Yc = Zcp - 2, Ycp - 2
-    Zf, Yf = 2 * Zc, 2 * Yc
-    has_fmask = fmask is not None
-    if has_fmask:
-        _, Zfp, Yfp, xqf, _ = fmask.shape
-        assert (Zfp, Yfp) == (Zf + 2, Yf + 2), (fmask.shape, x0.shape)
-    else:
-        assert xqf is not None
-    dt = x0.dtype
+def prep_upconv_weights(w27s: list, cpad: int, dt, quantize: bool) -> dict:
+    """Kernel-ready upsample-folded weights for fused_upconv_folded
+    (pad + parity fold + int8 quantization) — weight-only, hoistable
+    like prep_conv_weights."""
     wms, wcs = [], []
     for w in w27s:
         K, cin, cout = w.shape
@@ -1062,8 +1048,46 @@ def fused_upconv_folded(
         wc = jnp.clip(
             jnp.round(wc.astype(jnp.float32) * inv), -127.0, 127.0
         ).astype(jnp.int8)
+        return {"wm": wm, "wc": wc, "ws": ws}
+    return {"wm": wm, "wc": wc}
+
+
+def fused_upconv_folded(
+    xs: list,            # G COARSE halo'd grids [B, Zc+2, Yc+2, xqc, 128]
+    cmask: jax.Array,    # coarse mask, same shape
+    fmask: jax.Array | None,  # FINE mask [B, 2Zc+2, 2Yc+2, xqf, 128];
+                         # None: expand the coarse mask in-register (the
+                         # NN-dup'd coarse mask IS the fine mask here —
+                         # no fine-mask grid need exist in HBM)
+    w27s: list | None,   # G weights [27, real_c_g, cout <= cpad]
+    cpad: int,
+    *,
+    affines: list | None = None,
+    relu: bool = True,
+    quantize: bool = False,
+    xqf: int | None = None,  # required when fmask is None
+    prew: dict | None = None,  # prep_upconv_weights output
+) -> jax.Array:
+    """fmask * conv3(nn_up2(sum_g in_g')) as a halo'd FINE folded grid;
+    in_g' = relu(in_g * a + b) * cmask when affines given (fused BN-eval).
+    quantize: int8 GEMMs (same scheme as fused_conv_folded).
+    """
+    G = len(xs)
+    x0 = xs[0]
+    B, Zcp, Ycp, xqc, _ = x0.shape
+    Zc, Yc = Zcp - 2, Ycp - 2
+    Zf, Yf = 2 * Zc, 2 * Yc
+    has_fmask = fmask is not None
+    if has_fmask:
+        _, Zfp, Yfp, xqf, _ = fmask.shape
+        assert (Zfp, Yfp) == (Zf + 2, Yf + 2), (fmask.shape, x0.shape)
     else:
-        ws = None
+        assert xqf is not None
+    dt = x0.dtype
+    if prew is None:
+        prew = prep_upconv_weights(w27s, cpad, dt, quantize)
+    wm, wc, ws = prew["wm"], prew["wc"], prew.get("ws")
+    assert wm.shape[0] == G
     has_affine = affines is not None
     if has_affine:
         ab = jnp.stack([
@@ -1318,16 +1342,47 @@ def _kernel_downconv(*refs, tzc, tyc, xqf, xqc, relu, has_affine,
         ).wait()
 
 
+def prep_downconv_weights(w8: jax.Array, cpad: int, cpad_out: int | None,
+                          dt, quantize: bool) -> dict:
+    """Kernel-ready strided weights + mask-down matrix for
+    fused_downconv_folded — weight-only, hoistable like
+    prep_conv_weights."""
+    from sgnn_tpu.ops.folded import (
+        _mask_down_cross, _mask_down_matrix, _strided_w, _strided_w_cross,
+    )
+
+    K, cin, cout = w8.shape
+    cross = cpad_out is not None and cpad_out != cpad
+    if cross:
+        assert cpad_out == 2 * cpad and K == 8
+        assert cin <= cpad and cout <= cpad_out
+        W = _strided_w_cross(w8, cpad, cpad_out, cin, cout).astype(dt)
+        MD = jnp.asarray(_mask_down_cross(cpad, cpad_out), dt)[None]
+    else:
+        assert K == 8 and cin <= cpad and cout <= cpad
+        W = _strided_w(w8, cpad, 0, cin, cout).astype(dt)  # [2,2,256,128]
+        MD = jnp.asarray(_mask_down_matrix(cpad), dt)[None]
+    if quantize:
+        amax = jnp.max(jnp.abs(W.astype(jnp.float32)), axis=(0, 1, 2))
+        ws = (jnp.maximum(amax, 1e-8) / 127.0)[None]  # [1, 128]
+        W = jnp.clip(
+            jnp.round(W.astype(jnp.float32) * (1.0 / ws[0])), -127.0, 127.0
+        ).astype(jnp.int8)
+        return {"W": W, "MD": MD, "ws": ws}
+    return {"W": W, "MD": MD}
+
+
 def fused_downconv_folded(
     x: jax.Array,        # fine halo'd grid [B, Zf+2, Yf+2, xqf, 128]
     fmask: jax.Array,    # fine mask, same shape
-    w8: jax.Array,       # [8, real_c, cout], tap order (dz, dy, dx)
+    w8: jax.Array | None,  # [8, real_c, cout], tap order (dz, dy, dx)
     cpad: int,
     *,
     affine: tuple | None = None,  # (scale[128], bias[128]) f32
     relu: bool = True,
     cpad_out: int | None = None,  # widen the lane budget across the stride
     quantize: bool = False,  # int8 GEMMs (same scheme as fused_conv_folded)
+    prew: dict | None = None,  # prep_downconv_weights output
 ) -> tuple[jax.Array, jax.Array]:
     """Stride-2 2^3 conv site -> (coarse masked halo'd grid, coarse mask),
     both [B, Zf/2+2, Yf/2+2, xqc, 128]. coarse mask = maxpool2(fine mask);
@@ -1337,43 +1392,27 @@ def fused_downconv_folded(
     ``quantize``: int8 conv GEMMs (dynamic per-tile activation scale,
     static per-column weight scales); the mask-down GEMM stays exact.
     """
-    from sgnn_tpu.ops.folded import (
-        _mask_down_cross, _mask_down_matrix, _strided_w, _strided_w_cross,
-        _xq_for,
-    )
+    from sgnn_tpu.ops.folded import _xq_for
 
     B, Zfp, Yfp, xqf, _ = x.shape
     Zf, Yf = Zfp - 2, Yfp - 2
     Zc, Yc = Zf // 2, Yf // 2
     dt = x.dtype
-    K, cin, cout = w8.shape
     cross = cpad_out is not None and cpad_out != cpad
     if cross:
-        assert cpad_out == 2 * cpad and K == 8
-        assert cin <= cpad and cout <= cpad_out
         xqc = xqf
-        W = _strided_w_cross(w8, cpad, cpad_out, cin, cout).astype(dt)
-        MD = jnp.asarray(_mask_down_cross(cpad, cpad_out), dt)[None]
     else:
-        assert K == 8 and cin <= cpad and cout <= cpad
         Xc_blocks_logical = xqf // 2
         xqc = _xq_for(Xc_blocks_logical * (LANES // cpad), cpad)
-        W = _strided_w(w8, cpad, 0, cin, cout).astype(dt)  # [2,2,256,128]
-        MD = jnp.asarray(_mask_down_matrix(cpad), dt)[None]
+    if prew is None:
+        prew = prep_downconv_weights(w8, cpad, cpad_out, dt, quantize)
+    W, MD, ws = prew["W"], prew["MD"], prew.get("ws")
     has_affine = affine is not None
     if has_affine:
         ab = jnp.stack([affine[0].astype(jnp.float32),
                         affine[1].astype(jnp.float32)])
     else:
         ab = jnp.zeros((2, LANES), jnp.float32)
-    if quantize:
-        amax = jnp.max(jnp.abs(W.astype(jnp.float32)), axis=(0, 1, 2))
-        ws = (jnp.maximum(amax, 1e-8) / 127.0)[None]  # [1, 128]
-        W = jnp.clip(
-            jnp.round(W.astype(jnp.float32) * (1.0 / ws[0])), -127.0, 127.0
-        ).astype(jnp.int8)
-    else:
-        ws = None
 
     # tile sizes: fine tiles are 4x the coarse tile footprint
     best = (1, 1)
