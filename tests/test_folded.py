@@ -850,3 +850,33 @@ def test_head_site_coarse_mask_interpret(rng):
         np.testing.assert_array_equal(np.asarray(got.data),
                                       np.asarray(ref.data))
     assert float(np.abs(np.asarray(refs[2].data)).max()) > 0
+
+
+@pytest.mark.parametrize("cpad_in,X", [(8, 32), (16, 24), (8, 48)])
+def test_repack_cpad(rng, cpad_in, X):
+    """reshape-based repack == the _repack_matrix lane-GEMM formulation,
+    and unfold(repack(fold(x))) == x."""
+    C = cpad_in - 2
+    x = _rand_grid(rng, 1, 3, 4, X, C)
+    fg = FO.fold(jnp.asarray(x), cpad=cpad_in)
+    out = FO.repack_cpad(fg, 2 * cpad_in)
+    assert out.cpad == 2 * cpad_in and out.real_c == C
+    assert out.data.shape[3] == FO._xq_for(X, 2 * cpad_in)
+    np.testing.assert_array_equal(np.asarray(FO.unfold(out)), x)
+
+    # pin against the lane-GEMM formulation the reshape path replaced
+    M = jnp.asarray(FO._repack_matrix(cpad_in, 2 * cpad_in),
+                    fg.data.dtype)
+    ref = jax.lax.dot_general(
+        fg.data, M, dimension_numbers=(((4,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(fg.data.dtype)
+    ref = FO._unpairs(ref)
+    xq_out = FO._xq_for(X, 2 * cpad_in)
+    if ref.shape[3] > xq_out:
+        ref = ref[:, :, :, :xq_out]
+    elif ref.shape[3] < xq_out:
+        ref = jnp.pad(
+            ref, ((0, 0),) * 3 + ((0, xq_out - ref.shape[3]), (0, 0))
+        )
+    np.testing.assert_array_equal(np.asarray(out.data), np.asarray(ref))
