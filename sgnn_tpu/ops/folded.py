@@ -878,28 +878,19 @@ def _repack_matrix(cpad_in: int, cpad_out: int) -> np.ndarray:
 
 
 def repack_cpad(fg: FGrid, cpad_out: int) -> FGrid:
-    """Re-fold an FGrid to a wider per-voxel lane budget; real channels
-    preserved, new lanes dead-zero.
-
-    Pure data movement: a row of F_in voxels spreads over TWO rows of
-    F_out = F_in/2 voxels, each voxel keeping its cpad_in channels and
-    gaining cpad_in dead lanes — reshape + zero-pad + reshape, which XLA
-    lowers to one fused HBM copy (~2x bytes). Equivalent to the lane
-    GEMM by _repack_matrix (pinned by tests/test_folded.py) but
-    skips the MXU round-trip the old formulation paid (~0.8 ms/fwd at
-    headline dims)."""
+    """Re-fold an FGrid to a wider per-voxel lane budget (one lane GEMM +
+    block unpair); real channels preserved, new lanes dead-zero."""
     if cpad_out == fg.cpad:
         return fg
     assert cpad_out == 2 * fg.cpad, (fg.cpad, cpad_out)
     Z, Y, X = fg.dims
     xq_out = _xq_for(X, cpad_out)
-    F_out = LANES // cpad_out
-    s = fg.data.shape  # [B, Z+2, Y+2, xq_in, 128]
-    y = fg.data.reshape(*s[:-1], 2, F_out, fg.cpad)
-    y = jnp.pad(
-        y, ((0, 0),) * (y.ndim - 1) + ((0, cpad_out - fg.cpad),)
-    )
-    y = y.reshape(*s[:-2], s[-2] * 2, LANES)  # [B, Z+2, Y+2, 2 xq_in, 128]
+    M = jnp.asarray(_repack_matrix(fg.cpad, cpad_out), fg.data.dtype)
+    y = jax.lax.dot_general(
+        fg.data, M, dimension_numbers=(((4,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(fg.data.dtype)
+    y = _unpairs(y)  # [B, Z+2, Y+2, 2 xq_in, 128]
     if y.shape[3] > xq_out:
         y = y[:, :, :, :xq_out]
     elif y.shape[3] < xq_out:
